@@ -1,0 +1,363 @@
+"""XPBD cloth solver — the TPU-native replacement for the NvFlex binary.
+
+The reference's physics tick is ``NvFlexUpdateSolver(dt=1/100, substeps=4)``
+with 30 constraint iterations per substep (reference:
+PyFlex/bindings/main.cpp:2273, softgym_scenes/softgym_cloth.h:154-155), whose
+internal pipeline is only observable through its stage timers (predict, grid
+build, collide, solveSprings, solveContacts, applyDeltas, finalize;
+reference: PyFlex/include/NvFlex.h:197-223).  This module implements that
+contract natively for TPU:
+
+- **Grid cloths** (the training distribution) use a *stencil* spring solve:
+  the six spring classes of CreateSpringGrid (helpers.h:872-925) become
+  shifted-array arithmetic over an (H, W, 3) lattice — no gathers, no
+  scatters, pure VPU work, trivially vmappable over envs.  Within each class
+  the constraints split into two independent sets (graph coloring), so the
+  solve is Gauss-Seidel quality at Jacobi cost.
+- **Mesh cloths** (shirts) use a gather + segment-sum Jacobi solve with
+  local relaxation (delta / constraint-degree), matching the documented
+  ``eNvFlexRelaxationLocal`` semantics (NvFlex.h:89,152-153).
+- Self-collision uses a hash-grid neighbor search (sort + 27-cell lookup)
+  rebuilt once per step, with the rest-pose filter of
+  ``eNvFlexPhaseSelfCollideFilter`` (NvFlex.h:166).
+
+Everything is fixed-shape and dispatches under ``jit``/``vmap``; there is no
+data-dependent Python control flow.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from flingbot_tpu.engine.state import ClothState, SolverParams
+from flingbot_tpu.engine.topology import (
+    GRID_STENCIL_CLASSES,
+    GridTopology,
+    MeshTopology,
+)
+from flingbot_tpu.engine import collisions
+
+_EPS = 1e-9
+
+
+# --------------------------------------------------------------------------
+# small shifted-array helpers (no wraparound — pads with `fill`)
+# --------------------------------------------------------------------------
+
+def shift2d(a: jnp.ndarray, dy: int, dx: int, fill=0.0) -> jnp.ndarray:
+    """out[y, x] = a[y + dy, x + dx], out-of-range -> fill.
+
+    Works on arrays of shape (H, W) or (H, W, C)."""
+    H, W = a.shape[0], a.shape[1]
+    pad_y = (max(-dy, 0), max(dy, 0))
+    pad_x = (max(-dx, 0), max(dx, 0))
+    pads = (pad_y, pad_x) + ((0, 0),) * (a.ndim - 2)
+    ap = jnp.pad(a, pads, constant_values=fill)
+    return jax.lax.dynamic_slice_in_dim(
+        jax.lax.dynamic_slice_in_dim(ap, pad_y[0] + dy, H, axis=0),
+        pad_x[0] + dx,
+        W,
+        axis=1,
+    )
+
+
+# --------------------------------------------------------------------------
+# grid lattice <-> canonical flat layout
+# --------------------------------------------------------------------------
+
+def _lattice_indices(topo: GridTopology):
+    """(H, W) canonical flat index (y * dimx + x) and validity mask."""
+    H, W = topo.max_dimy, topo.max_dimx
+    iy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    valid = (iy < topo.dimy) & (ix < topo.dimx)
+    flat = jnp.where(valid, iy * topo.dimx + ix, 0)
+    return flat, valid
+
+
+def gather_to_lattice(x: jnp.ndarray, topo: GridTopology, fill=0.0):
+    """Canonical (N, ...) -> lattice (H, W, ...)."""
+    flat, valid = _lattice_indices(topo)
+    out = x[flat]
+    mask = valid.reshape(valid.shape + (1,) * (x.ndim - 1))
+    return jnp.where(mask, out, fill), valid
+
+
+def scatter_from_lattice(
+    lattice: jnp.ndarray, x: jnp.ndarray, topo: GridTopology
+) -> jnp.ndarray:
+    """Lattice (H, W, ...) -> canonical (N, ...), untouched where padded."""
+    flat, valid = _lattice_indices(topo)
+    tgt = jnp.where(valid, flat, x.shape[0])  # OOB index -> dropped
+    return x.at[tgt.reshape(-1)].set(
+        lattice.reshape((-1,) + lattice.shape[2:]), mode="drop"
+    )
+
+
+# --------------------------------------------------------------------------
+# spring solves
+# --------------------------------------------------------------------------
+
+def _grid_phase(P, w, valid, dy, dx, color, rest, stiff, relax):
+    """One colored Gauss-Seidel phase of one stencil class.
+
+    Projects every constraint {(y,x), (y+dy, x+dx)} whose start parity
+    matches `color`; within a phase no particle is touched twice, so the
+    two endpoint updates can be applied as plain masked adds."""
+    H, W = P.shape[0], P.shape[1]
+    iy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    if (dy, dx) == (0, 1):
+        sel = (ix % 2) == color
+    elif (dy, dx) == (1, 0):
+        sel = (iy % 2) == color
+    elif (dy, dx) == (0, 2):
+        sel = ((ix // 2) % 2) == color
+    elif (dy, dx) == (2, 0):
+        sel = ((iy // 2) % 2) == color
+    else:  # diagonals (1, 1) and (1, -1)
+        sel = (iy % 2) == color
+
+    Pb = shift2d(P, dy, dx)
+    wb = shift2d(w, dy, dx)
+    pair_ok = sel & valid & shift2d(valid, dy, dx, fill=False)
+
+    d = Pb - P
+    dist = jnp.sqrt(jnp.sum(d * d, axis=-1) + _EPS)
+    C = dist - rest
+    wsum = w + wb
+    s = jnp.where(pair_ok & (wsum > 0), relax * stiff * C / (wsum + _EPS), 0.0)
+    n = d / dist[..., None]
+    dA = (w * s)[..., None] * n
+    dB = (-(wb * s))[..., None] * n
+    return P + dA + shift2d(dB, -dy, -dx)
+
+
+def _grid_jacobi(P, w, valid, topo: GridTopology, relax):
+    """All six stencil classes from the same P, accumulated and divided by
+    per-particle constraint count — NvFlex's eNvFlexRelaxationLocal
+    (NvFlex.h:89,152-153)."""
+    acc = jnp.zeros_like(P)
+    count = jnp.zeros(P.shape[:2], P.dtype)
+    for dy, dx, rest_k, cls in GRID_STENCIL_CLASSES:
+        rest = rest_k * topo.spacing
+        stiff = topo.stiffness[cls]
+        Pb = shift2d(P, dy, dx)
+        wb = shift2d(w, dy, dx)
+        pair_ok = valid & shift2d(valid, dy, dx, fill=False)
+        d = Pb - P
+        dist = jnp.sqrt(jnp.sum(d * d, axis=-1) + _EPS)
+        C = dist - rest
+        wsum = w + wb
+        s = jnp.where(pair_ok & (wsum > 0), stiff * C / (wsum + _EPS), 0.0)
+        n = d / dist[..., None]
+        dA = (w * s)[..., None] * n
+        dB = (-(wb * s))[..., None] * n
+        acc = acc + dA + shift2d(dB, -dy, -dx)
+        cnt = pair_ok.astype(P.dtype)
+        count = count + cnt + shift2d(cnt, -dy, -dx)
+    return P + relax * acc / jnp.maximum(count, 1.0)[..., None]
+
+
+def solve_springs_grid(P, w, valid, topo: GridTopology, relax, mode: str):
+    if mode == "jacobi":
+        return _grid_jacobi(P, w, valid, topo, relax)
+    for dy, dx, rest_k, cls in GRID_STENCIL_CLASSES:
+        rest = rest_k * topo.spacing
+        stiff = topo.stiffness[cls]
+        for color in (0, 1):
+            P = _grid_phase(P, w, valid, dy, dx, color, rest, stiff, relax)
+    return P
+
+
+def solve_springs_mesh(P, w, topo: MeshTopology, relax):
+    """Jacobi + local relaxation over padded edge arrays (shirt path)."""
+    e0, e1 = topo.edges[:, 0], topo.edges[:, 1]
+    pa, pb = P[e0], P[e1]
+    wa, wb = w[e0], w[e1]
+    d = pb - pa
+    dist = jnp.sqrt(jnp.sum(d * d, axis=-1) + _EPS)
+    C = dist - topo.rest
+    wsum = wa + wb
+    s = jnp.where(topo.edge_mask & (wsum > 0), topo.stiffness * C / (wsum + _EPS), 0.0)
+    n = d / dist[:, None]
+    dA = (wa * s)[:, None] * n
+    dB = (-(wb * s))[:, None] * n
+    acc = jnp.zeros_like(P).at[e0].add(dA).at[e1].add(dB)
+    return P + relax * acc / jnp.maximum(topo.degree, 1.0)[:, None]
+
+
+# --------------------------------------------------------------------------
+# contacts: ground plane, picker spheres
+# --------------------------------------------------------------------------
+
+def solve_plane(P, prev, w, params: SolverParams, moving_mask):
+    """Ground plane y >= collision_distance with PBD Coulomb friction
+    (NvFlexParams.dynamicFriction semantics, NvFlex.h:105; plane contact at
+    collisionDistance, NvFlex.h:145)."""
+    y = P[..., 1]
+    pen = params.collision_distance - y
+    contact = (pen > 0) & moving_mask
+    dy = jnp.where(contact, pen, 0.0)
+    # friction on the tangential (xz) displacement accumulated this substep
+    d = P - prev
+    dx, dz = d[..., 0], d[..., 2]
+    t_norm = jnp.sqrt(dx * dx + dz * dz + _EPS)
+    scale = jnp.minimum(
+        1.0, params.dynamic_friction * jnp.maximum(pen, 0.0) / t_norm
+    )
+    f = jnp.where(contact, scale, 0.0)
+    corr = jnp.stack([-dx * f, dy, -dz * f], axis=-1)
+    return P + corr
+
+
+def solve_picker_spheres(P, w, picker_pos, picker_radius, params: SolverParams,
+                         moving_mask):
+    """Push particles out of the gripper spheres.  The reference adds the
+    pickers as FleX sphere shapes (flex_utils.py:83, pyflex.add_sphere)."""
+    R = picker_radius + params.collision_distance
+    delta = jnp.zeros_like(P)
+    for k in range(picker_pos.shape[0]):
+        d = P - picker_pos[k]
+        dist = jnp.sqrt(jnp.sum(d * d, axis=-1) + _EPS)
+        pen = R - dist
+        push = jnp.where((pen > 0) & moving_mask, pen, 0.0)
+        delta = delta + (d / dist[..., None]) * push[..., None]
+    return P + delta
+
+
+# --------------------------------------------------------------------------
+# the step
+# --------------------------------------------------------------------------
+
+def _substep(P, V, w, moving_mask, params, dt, iterations, solve_fn, contacts):
+    """One XPBD substep: predict -> iterate constraints -> finalize."""
+    V = V + dt * params.gravity
+    V = V * jnp.maximum(0.0, 1.0 - params.damping * dt)
+    V = jnp.where(moving_mask[..., None], V, 0.0)
+    prev = P
+    P = jnp.where(moving_mask[..., None], P + dt * V, P)
+
+    def body(_, P):
+        P = solve_fn(P)
+        P = solve_plane(P, prev, w, params, moving_mask)
+        return P
+
+    P = jax.lax.fori_loop(0, iterations, body, P, unroll=False)
+    # contacts once per substep from the cached per-step neighbor table
+    if contacts is not None:
+        nbr_idx, nbr_mask = contacts
+        P = collisions.solve_contacts(
+            P, w, moving_mask, nbr_idx, nbr_mask, rest_dist=params.radius
+        )
+        P = solve_plane(P, prev, w, params, moving_mask)
+    V_new = (P - prev) / dt
+    V = jnp.where(moving_mask[..., None], V_new, V)
+    return P, V
+
+
+def step(
+    state: ClothState,
+    topo,
+    params: SolverParams,
+    *,
+    substeps: int = 4,
+    iterations: int = 30,
+    self_collision: bool = True,
+    spring_mode: str = "gs",
+    picker_radius: float = 0.02,
+) -> ClothState:
+    """Advance the world by one frame: dt split into `substeps` XPBD substeps
+    of `iterations` constraint projections each — the TPU analog of
+    NvFlexUpdateSolver(g_dt, g_numSubsteps) (main.cpp:2273)."""
+    if isinstance(topo, GridTopology):
+        return _step_grid(
+            state, topo, params, substeps, iterations, self_collision,
+            spring_mode, picker_radius,
+        )
+    return _step_mesh(
+        state, topo, params, substeps, iterations, self_collision, picker_radius
+    )
+
+
+def _run_substeps(P, V, w, moving_mask, params, substeps, iterations,
+                  solve_fn, contacts, picker_pos, picker_radius):
+    dt = params.dt / substeps
+
+    def one(carry, _):
+        P, V = carry
+        P, V = _substep(P, V, w, moving_mask, params, dt, iterations,
+                        solve_fn, contacts)
+        P = solve_picker_spheres(P, w, picker_pos, picker_radius, params,
+                                 moving_mask)
+        return (P, V), None
+
+    (P, V), _ = jax.lax.scan(one, (P, V), None, length=substeps)
+    return P, V
+
+
+def _step_grid(state, topo, params, substeps, iterations, self_collision,
+               spring_mode, picker_radius):
+    H, W = topo.max_dimy, topo.max_dimx
+    Pl, valid = gather_to_lattice(state.positions, topo)
+    Vl, _ = gather_to_lattice(state.velocities, topo)
+    wl, _ = gather_to_lattice(state.inv_mass, topo)
+    wl = jnp.where(valid, wl, 0.0)
+    moving = valid & (wl > 0)
+
+    contacts = None
+    if self_collision:
+        nbr_idx, nbr_mask = collisions.find_neighbors_grid(
+            Pl.reshape(-1, 3), moving.reshape(-1), W, params.radius
+        )
+        contacts = (nbr_idx, nbr_mask)
+
+    solve_fn = lambda P: solve_springs_grid(
+        P, wl, valid, topo, params.relaxation_factor, spring_mode
+    )
+    Pl, Vl = _run_substeps(
+        Pl, Vl, wl, moving, params, substeps, iterations, solve_fn,
+        contacts, state.picker_pos, picker_radius,
+    )
+
+    positions = scatter_from_lattice(Pl, state.positions, topo)
+    velocities = scatter_from_lattice(Vl, state.velocities, topo)
+    return state.replace(
+        positions=positions, velocities=velocities, time=state.time + params.dt
+    )
+
+
+def _step_mesh(state, topo, params, substeps, iterations, self_collision,
+               picker_radius):
+    P, V = state.positions, state.velocities
+    w = jnp.where(state.active, state.inv_mass, 0.0)
+    moving = state.active & (w > 0)
+
+    contacts = None
+    if self_collision:
+        nbr_idx, nbr_mask = collisions.find_neighbors_hash(
+            P, moving, params.radius, topo.rest_positions
+        )
+        contacts = (nbr_idx, nbr_mask)
+
+    solve_fn = lambda Px: solve_springs_mesh(Px, w, topo, params.relaxation_factor)
+    P, V = _run_substeps(
+        P, V, w, moving, params, substeps, iterations, solve_fn,
+        contacts, state.picker_pos, picker_radius,
+    )
+    return state.replace(positions=P, velocities=V, time=state.time + params.dt)
+
+
+def substep(*args, **kwargs):  # pragma: no cover - thin alias
+    return _substep(*args, **kwargs)
+
+
+def make_step_fn(topo, params: Optional[SolverParams] = None, **static):
+    """Convenience: returns a jitted `state -> state` closure."""
+    params = params or SolverParams()
+    fn = functools.partial(step, topo=topo, params=params, **static)
+    return jax.jit(lambda s: fn(s))

@@ -1,0 +1,12 @@
+"""Test config: force CPU with 8 virtual devices so multi-chip sharding
+tests run anywhere (the one capability the reference lacked — SURVEY §4)."""
+
+import os
+
+# force CPU even when the session env points JAX at the axon TPU tunnel
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
