@@ -1,0 +1,454 @@
+"""Task model, HDF5 task files, and task generation.
+
+Byte-compatible with the reference task format (environment/tasks.py:
+287-320, 323-463): an HDF5 file with one group per task; scalars stored as
+group attrs, arrays as gzip datasets.  Existing flingbot-rect/shirt eval
+task files load unchanged (a hard compat requirement, SURVEY §0).
+
+Task generation (hard = lift-by-random-particle-and-drop, easy = random
+vertex tosses; reference tasks.py:105-284) runs on our own engine with the
+crumpling rollout jitted on device.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Dict, List, Optional
+
+import h5py
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from filelock import FileLock
+except ImportError:  # pragma: no cover
+    import contextlib
+
+    def FileLock(_path):  # type: ignore
+        return contextlib.nullcontext()
+
+from flingbot_tpu.engine.state import ClothState
+from flingbot_tpu.engine.solver import step as solver_step
+from flingbot_tpu.engine.state import SolverParams
+from flingbot_tpu.env import scene as scene_mod
+from flingbot_tpu.env.coverage import get_current_covered_area
+
+
+class Task:
+    """One manipulation task: a crumpled-cloth start state + metadata.
+
+    Same constructor keywords, views (get_config / get_state / get_stats)
+    and repr fields as the reference Task (environment/tasks.py:323-433), so
+    code written against the reference keeps working."""
+
+    def __init__(
+        self,
+        name: str,
+        flatten_area: float,
+        initial_coverage: float,
+        task_difficulty: str,
+        cloth_size: Optional[List] = None,
+        flip_mesh: int = 0,
+        particle_pos=(),
+        particle_vel=(),
+        shape_pos=(),
+        mesh_verts=(),
+        mesh_stretch_edges=(),
+        mesh_bend_edges=(),
+        mesh_shear_edges=(),
+        mesh_faces=(),
+        phase=(),
+        cloth_stiff=(),
+        cloth_mass: float = 0.5,
+        cloth_pos=(0, 2, 0),
+        **_unused,
+    ):
+        self.name = name
+        self.flatten_area = float(flatten_area)
+        self.initial_coverage = float(initial_coverage)
+        self.task_difficulty = str(task_difficulty)
+        self.cloth_mass = float(cloth_mass)
+        self.cloth_size = np.array(cloth_size if cloth_size is not None else [-1, -1])
+        self.particle_pos = np.array(particle_pos)
+        self.particle_vel = np.array(particle_vel)
+        self.shape_pos = np.array(shape_pos)
+        self.phase = np.array(phase)
+        self.cloth_pos = np.array(cloth_pos)
+        self.cloth_stiff = np.array(cloth_stiff)
+        self.flip_mesh = int(flip_mesh)
+        self.mesh_verts = np.array(mesh_verts)
+        if self.mesh_verts.size > 0:
+            self.cloth_size = np.array([-1, -1])
+        self.mesh_stretch_edges = np.array(mesh_stretch_edges)
+        self.mesh_bend_edges = np.array(mesh_bend_edges)
+        self.mesh_shear_edges = np.array(mesh_shear_edges)
+        self.mesh_faces = np.array(mesh_faces)
+        # top-down camera (tasks.py:363-371)
+        self.camera_pos = np.array([0.0, 2.0, 0.0])
+        self.camera_angle = np.array([np.pi * 0.5, -np.pi * 0.5, 0.0])
+        self.camera_width = 720
+        self.camera_height = 720
+
+    def get_config(self) -> Dict:
+        return {
+            "cloth_pos": self.cloth_pos,
+            "cloth_size": self.cloth_size,
+            "cloth_stiff": self.cloth_stiff,
+            "cloth_mass": self.cloth_mass,
+            "camera_name": "default_camera",
+            "camera_params": {
+                "default_camera": {
+                    "pos": self.camera_pos,
+                    "angle": self.camera_angle,
+                    "width": self.camera_width,
+                    "height": self.camera_height,
+                }
+            },
+            "flip_mesh": self.flip_mesh,
+            "flatten_area": self.flatten_area,
+            "mesh_verts": self.mesh_verts,
+            "mesh_stretch_edges": self.mesh_stretch_edges,
+            "mesh_bend_edges": self.mesh_bend_edges,
+            "mesh_shear_edges": self.mesh_shear_edges,
+            "mesh_faces": self.mesh_faces,
+        }
+
+    def get_state(self) -> Dict:
+        return {
+            "particle_pos": self.particle_pos,
+            "particle_vel": self.particle_vel,
+            "shape_pos": self.shape_pos,
+            "phase": self.phase,
+            "camera_params": {
+                "default_camera": {
+                    "pos": self.camera_pos,
+                    "angle": self.camera_angle,
+                    "width": self.camera_width,
+                    "height": self.camera_height,
+                }
+            },
+        }
+
+    def get_stats(self) -> Dict:
+        return {
+            "task_name": self.name,
+            "cloth_mass": self.cloth_mass,
+            "cloth_size": self.cloth_size,
+            "cloth_stiff": self.cloth_stiff,
+            "max_coverage": self.flatten_area,
+            "task_difficulty": self.task_difficulty,
+            "init_coverage": self.initial_coverage,
+        }
+
+    def __str__(self) -> str:
+        pct = self.initial_coverage * 100 / max(self.flatten_area, 1e-9)
+        return (
+            f"[Task] {self.name}\n"
+            f"\ttask_difficulty: {self.task_difficulty}\n"
+            f"\tinitial_coverage (%): {pct:.02f}\n"
+            f"\tcloth_mass (kg): {self.cloth_mass:.04f}\n"
+            f"\tcloth_size: {self.cloth_size}\n"
+            f"\tcloth_stiff: {self.cloth_stiff}\n"
+            f"\tflatten_area (m^2): {self.flatten_area:.04f}\n"
+        )
+
+
+class TaskLoader:
+    """Sequential task reader over a flingbot-format HDF5 file
+    (reference: tasks.py:436-463).  With repeat=False it raises StopIteration
+    when exhausted instead of sleeping forever."""
+
+    def __init__(self, hdf5_path: str, repeat: bool = True):
+        self.hdf5_path = hdf5_path
+        self.repeat = repeat
+        with h5py.File(hdf5_path, "r") as f:
+            self.keys = sorted(f.keys())
+        print(f"[TaskLoader] Found {len(self.keys)} tasks from {hdf5_path}")
+        self.curr_task_idx = 0
+
+    def __len__(self):
+        return len(self.keys)
+
+    def get_next_task(self) -> Task:
+        if self.curr_task_idx >= len(self.keys):
+            if not self.repeat:
+                raise StopIteration("[TaskLoader] Out of tasks")
+            self.curr_task_idx = 0
+        key = self.keys[self.curr_task_idx]
+        self.curr_task_idx += 1
+        with h5py.File(self.hdf5_path, "r") as f:
+            group = f[key]
+            kwargs = dict(group.attrs)
+            kwargs.update({k: np.array(group[k]) for k in group})
+            return Task(name=key, **kwargs)
+
+
+def write_task(path: str, task_dict: Dict) -> str:
+    """Append one task to an HDF5 file under a sha1 key — the exact schema
+    of the reference's generator (tasks.py:305-320)."""
+    with FileLock(path + ".lock"):
+        with h5py.File(path, "a") as f:
+            key = hashlib.sha1(f"{len(f)}".encode()).hexdigest()
+            group = f.create_group(key)
+            for k, v in task_dict.items():
+                if isinstance(v, (float, int, str, np.floating, np.integer)):
+                    group.attrs[k] = v
+                else:
+                    group.create_dataset(
+                        name=k, data=v, compression="gzip", compression_opts=9
+                    )
+    return key
+
+
+# --------------------------------------------------------------------------
+# task generation on our engine
+# --------------------------------------------------------------------------
+
+
+def _sim_n(state, topo, params, n, anchor_idx=None, anchor_pos=None,
+           substeps=4, iterations=30):
+    """Jitted helper: run n solver steps, optionally holding one particle
+    (inv mass 0 + teleport) at anchor_pos — the generator's pickpoint trick
+    (reference tasks.py:177-224).  anchor_idx may be a traced scalar; pass
+    a negative value (or None) for no anchor."""
+    cap = state.num_particles
+
+    def body(st, _):
+        if anchor_idx is not None:
+            idx = jnp.asarray(anchor_idx, jnp.int32)
+            slot = jnp.where(idx >= 0, idx, cap)  # cap -> dropped
+            st = st.replace(
+                positions=st.positions.at[slot].set(anchor_pos, mode="drop"),
+                velocities=st.velocities.at[slot].set(
+                    jnp.zeros(3), mode="drop"),
+            )
+        st = solver_step(st, topo, params, substeps=substeps,
+                         iterations=iterations, self_collision=True)
+        return st, None
+
+    state, _ = jax.lax.scan(body, state, None, length=n)
+    return state
+
+
+def wait_until_stable(
+    state, topo, params, max_steps=300, tolerance=1e-2, chunk=10,
+    substeps=4, iterations=30,
+):
+    """Step until max |v| < tolerance (reference flex_utils.py:430-441),
+    checking every `chunk` steps to amortize host sync."""
+    fn = jax.jit(
+        lambda s: _sim_n(s, topo, params, chunk, substeps=substeps,
+                         iterations=iterations)
+    )
+    for _ in range(max_steps // chunk):
+        state = fn(state)
+        if float(jnp.max(jnp.abs(
+                jnp.where(state.active[:, None], state.velocities, 0.0)))) \
+                < tolerance:
+            return state, True
+    return state, False
+
+
+def generate_randomization(
+    rng: np.random.Generator,
+    min_cloth_size: int = 64,
+    max_cloth_size: int = 104,
+    strict_min_edge_length: int = 64,
+    task_difficulty: str = "hard",
+    cloth_type: str = "square",
+    cloth_mesh_path: Optional[str] = None,
+    params: Optional[SolverParams] = None,
+) -> Optional[Dict]:
+    """Generate one crumpled-cloth task (reference tasks.py:105-284).
+
+    square: sample size/stiffness/mass, flatten, then crumple by either
+    anchoring a random particle at a random height and dropping ('hard') or
+    tossing 10 random vertices ('easy'); reject states with particles above
+    0.4 m."""
+    params = params or SolverParams()
+    dimx = int(rng.integers(min_cloth_size, max_cloth_size))
+    dimy = int(rng.integers(min_cloth_size, max_cloth_size))
+    if dimx < strict_min_edge_length and dimy < strict_min_edge_length:
+        return None
+    if cloth_type == "mesh":
+        from pathlib import Path
+        import random as _random
+
+        from flingbot_tpu.engine.topology import load_cloth
+
+        assert cloth_mesh_path is not None
+        objs = list(Path(cloth_mesh_path).rglob("*_processed.obj"))
+        path = str(_random.choice(objs))
+        verts, faces, se, be, she = load_cloth(path)
+        mesh_arrays = dict(
+            mesh_verts=verts.reshape(-1),
+            mesh_stretch_edges=se.reshape(-1),
+            mesh_bend_edges=be.reshape(-1),
+            mesh_shear_edges=she.reshape(-1),
+            mesh_faces=faces.reshape(-1),
+        )
+        dimx, dimy = -1, -1
+        num_particles = verts.shape[0]
+        # flattened area ~ half the two-sided mesh area (tasks.py:142)
+        v = verts
+        t = v[faces]
+        flattened_area = float(
+            0.5 * np.linalg.norm(
+                np.cross(t[:, 1] - t[:, 0], t[:, 2] - t[:, 0]), axis=1
+            ).sum() / 2
+        )
+    else:
+        mesh_arrays = dict(
+            mesh_verts=np.array([]),
+            mesh_stretch_edges=np.array([]),
+            mesh_bend_edges=np.array([]),
+            mesh_shear_edges=np.array([]),
+            mesh_faces=np.array([]),
+        )
+        num_particles = dimx * dimy
+        flattened_area = None
+
+    stiffness = rng.uniform(0.85, 0.95, 3)
+    cloth_mass = float(rng.uniform(0.2, 2.0))
+    config = {
+        "cloth_pos": [0, 1, 0],
+        "cloth_size": [dimx, dimy],
+        "cloth_stiff": stiffness,
+        "cloth_mass": cloth_mass,
+        "flip_mesh": 0,
+        **mesh_arrays,
+    }
+    scene = scene_mod.make_scene(config)
+    topo, state = scene.topo, scene.state
+
+    if cloth_type == "mesh":
+        pos = np.asarray(state.positions)
+        pos[:num_particles] = np.asarray(
+            mesh_arrays["mesh_verts"], np.float32).reshape(-1, 3)
+        pos[:num_particles, 1] += 0.1
+        state = state.replace(positions=jnp.asarray(pos))
+        state = jax.jit(lambda s: _sim_n(s, topo, params, 40))(state)
+    else:
+        flat = scene_mod.flatten_positions(scene)
+        pos = np.asarray(state.positions)
+        pos[: flat.shape[0]] = flat
+        state = state.replace(
+            positions=jnp.asarray(pos),
+            velocities=jnp.zeros_like(state.velocities),
+        )
+        flattened_area = float(
+            get_current_covered_area(state.positions, state.active)
+        )
+
+    state = _center(state)
+
+    # one jitted mover reused for every task/toss (anchor_idx is traced)
+    move_fn = jax.jit(
+        lambda s, i, p: _sim_n(s, topo, params, 1, anchor_idx=i, anchor_pos=p)
+    )
+
+    def anchored_sweep(state, pickpoint, start, target, n_move):
+        """Drag particle `pickpoint` from start to target over n_move steps
+        with inv mass pinned to 0, then restore it."""
+        saved_w = float(state.inv_mass[pickpoint])
+        state = state.replace(inv_mass=state.inv_mass.at[pickpoint].set(0.0))
+        idx = jnp.int32(pickpoint)
+        for j in range(n_move):
+            p = jnp.asarray(start + (target - start) * (j / n_move),
+                            jnp.float32)
+            state = move_fn(state, idx, p)
+        return state, saved_w
+
+    if task_difficulty == "hard":
+        pickpoint = int(rng.integers(0, num_particles))
+        height = float(rng.random() * 1.0 + 0.5)
+        start = np.asarray(state.positions[pickpoint])
+        target = np.array([start[0], height, start[2]])
+        state, saved_w = anchored_sweep(state, pickpoint, start, target, 200)
+        # hold at height until the dangling cloth stabilizes, then drop
+        hold = jnp.asarray(target, jnp.float32)
+        idx = jnp.int32(pickpoint)
+        hold_fn = jax.jit(
+            lambda s: _sim_n(s, topo, params, 10, anchor_idx=idx,
+                             anchor_pos=hold)
+        )
+        for _ in range(30):
+            state = hold_fn(state)
+            vmax = float(jnp.max(jnp.abs(
+                jnp.where(state.active[:, None], state.velocities, 0.0))))
+            if vmax < 1e-1:
+                break
+        state = state.replace(
+            inv_mass=state.inv_mass.at[pickpoint].set(saved_w))
+    elif task_difficulty == "easy":
+        for _ in range(10):
+            pickpoint = int(rng.integers(0, num_particles))
+            displacement = rng.uniform(-0.2, 0.2, 3)
+            displacement[1] = 0.2
+            start = np.asarray(state.positions[pickpoint])
+            state, saved_w = anchored_sweep(
+                state, pickpoint, start, start + displacement, 100)
+            state = state.replace(
+                inv_mass=state.inv_mass.at[pickpoint].set(saved_w))
+    else:
+        raise NotImplementedError(task_difficulty)
+
+    state, _ = wait_until_stable(state, topo, params)
+    heights = np.asarray(state.positions)[np.asarray(state.active), 1]
+    if heights.max() > 0.4:
+        return None  # probably an error (tasks.py:262-265)
+    state = _center(state)
+
+    n = num_particles
+    pos4 = np.concatenate(
+        [np.asarray(state.positions[:n]),
+         np.asarray(state.inv_mass[:n])[:, None]], axis=1
+    )
+    return {
+        "particle_pos": pos4.reshape(-1),
+        "particle_vel": np.asarray(state.velocities[:n]).reshape(-1),
+        "initial_coverage": float(
+            get_current_covered_area(state.positions, state.active)),
+        "shape_pos": np.zeros(2 * 14, np.float32),
+        "phase": np.zeros(n, np.int32),
+        "flatten_area": float(flattened_area),
+        "flip_mesh": 0,
+        "cloth_size": np.array([dimx, dimy]),
+        "cloth_stiff": stiffness,
+        "cloth_mass": cloth_mass,
+        "task_difficulty": task_difficulty,
+        **mesh_arrays,
+    }
+
+
+def _center(state: ClothState) -> ClothState:
+    """center_object parity (flex_utils.py:313-317)."""
+    p = state.positions
+    act = state.active[:, None]
+    mean = jnp.sum(jnp.where(act, p, 0.0), axis=0) / jnp.maximum(
+        jnp.sum(state.active), 1
+    )
+    shift = jnp.array([mean[0], 0.0, mean[2]], jnp.float32)
+    return state.replace(positions=jnp.where(act, p - shift, p))
+
+
+def generate_tasks(
+    path: str,
+    num_tasks: int,
+    seed: int = 0,
+    log: bool = True,
+    **kwargs,
+) -> int:
+    """Generate tasks into an HDF5 file (CLI parity: tasks.py:466-501)."""
+    rng = np.random.default_rng(seed)
+    count = 0
+    while count < num_tasks:
+        task = generate_randomization(rng, **kwargs)
+        if task is None:
+            continue
+        write_task(path, task)
+        count += 1
+        if log:
+            print(f"[generate_tasks] {count}/{num_tasks}")
+    return count

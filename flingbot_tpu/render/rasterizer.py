@@ -1,0 +1,135 @@
+"""On-device RGB-D renderer: z-buffered particle splatting.
+
+Replaces both of the reference's observation renderers — the in-process
+OpenGL/EGL path (PyFlex/bindings/opengl/shadersGL.cpp, read back via
+pyflex.render, pyflex.cpp:924-1133) and the Blender subprocess path
+(environment/utils.py:59-92) — with a JAX kernel, so obs never leave the
+chip and the renderer vmaps over environments.
+
+Design: the cloth is a dense particle sheet whose projected spacing is a
+couple of pixels, so z-buffered disk splats of each particle reproduce the
+surface a mesh rasterizer would draw at observation resolution.  Splatting
+is a fixed KxK stamp per particle + scatter-min over a flat (S*S,) depth
+buffer — fixed shapes, fully fused by XLA, no host sync.  Depth follows the
+linear eye-space convention (camera.py); pixels nothing covers read as the
+floor plane (depth = camera_height - floor height = 2.0).
+
+Shading: Lambertian with a fixed directional light; per-pixel normals are
+recovered from the depth buffer by finite differences, which is visually
+equivalent to the flat-shaded GL cloth at 64x64 observation scale and keeps
+the whole pass elementwise.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from flingbot_tpu.render.camera import CAMERA_FOV, CAMERA_HEIGHT, focal_length
+
+DEFAULT_CLOTH_COLOR = (0.35, 0.35, 0.85)  # reference GL cloth is blue-ish
+DEFAULT_FLOOR_COLOR = (0.9, 0.9, 0.9)
+_LIGHT = (0.3, 0.8, 0.5)
+
+
+def _splat_depth(positions, active, image_size, splat_radius_px, k,
+                 camera_height):
+    """Scatter-min particle disks into a flat depth buffer."""
+    f = focal_length(image_size)
+    c = image_size / 2.0
+    x, y, z = positions[:, 0], positions[:, 1], positions[:, 2]
+    depth = camera_height - y
+    safe = jnp.maximum(depth, 1e-4)
+    col = x * f / safe + c
+    row = -z * f / safe + c
+
+    r0 = jnp.round(row).astype(jnp.int32)
+    c0 = jnp.round(col).astype(jnp.int32)
+
+    offs = jnp.arange(k) - (k // 2)
+    dr = offs[:, None]
+    dc = offs[None, :]
+    disk = (dr * dr + dc * dc) <= splat_radius_px * splat_radius_px  # (k, k)
+
+    rr = r0[:, None, None] + dr[None]  # (N, k, k)
+    cc = c0[:, None, None] + dc[None]
+    inside = (
+        (rr >= 0) & (rr < image_size) & (cc >= 0) & (cc < image_size)
+        & disk[None] & active[:, None, None]
+    )
+    flat_idx = jnp.where(inside, rr * image_size + cc, image_size * image_size)
+    zval = jnp.broadcast_to(depth[:, None, None], flat_idx.shape)
+
+    buf = jnp.full((image_size * image_size,), jnp.float32(camera_height))
+    buf = buf.at[flat_idx.reshape(-1)].min(zval.reshape(-1), mode="drop")
+    return buf.reshape(image_size, image_size)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("image_size", "k", "splat_radius_px")
+)
+def render_depth(
+    positions,
+    active,
+    image_size: int = 400,
+    splat_radius_px: float = 2.5,
+    k: int = 7,
+    camera_height: float = CAMERA_HEIGHT,
+):
+    """(N,3) particles -> (S,S) linear depth image (floor = camera_height)."""
+    return _splat_depth(
+        positions, active, image_size, splat_radius_px, k, camera_height
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("image_size", "k", "splat_radius_px")
+)
+def render_rgbd(
+    positions,
+    active,
+    image_size: int = 400,
+    cloth_color=DEFAULT_CLOTH_COLOR,
+    floor_color=DEFAULT_FLOOR_COLOR,
+    splat_radius_px: float = 2.5,
+    k: int = 7,
+    camera_height: float = CAMERA_HEIGHT,
+):
+    """(N,3) particles -> (rgb (S,S,3) in [0,1], depth (S,S) linear).
+
+    Matches the reference obs contract: get_image / blender_render_cloth
+    return (color, depth) with the floor at depth 2.0."""
+    depth = _splat_depth(
+        positions, active, image_size, splat_radius_px, k, camera_height
+    )
+    is_cloth = depth < camera_height - 1e-4
+
+    # normals from the depth buffer: world xz per-pixel scale is depth/f
+    f = focal_length(image_size)
+    dzdr = (jnp.roll(depth, -1, axis=0) - jnp.roll(depth, 1, axis=0)) * 0.5
+    dzdc = (jnp.roll(depth, -1, axis=1) - jnp.roll(depth, 1, axis=1)) * 0.5
+    px_world = depth / f
+    nx = -dzdc / jnp.maximum(px_world, 1e-6)
+    nz = dzdr / jnp.maximum(px_world, 1e-6)
+    ny = jnp.ones_like(depth)
+    norm = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+    light = jnp.asarray(_LIGHT)
+    light = light / jnp.linalg.norm(light)
+    lam = jnp.clip(
+        (nx * light[0] + ny * light[1] + nz * light[2]) / norm, 0.0, 1.0
+    )
+    shade = 0.55 + 0.45 * lam
+
+    cloth = jnp.asarray(cloth_color)[None, None, :] * shade[..., None]
+    floor = jnp.broadcast_to(
+        jnp.asarray(floor_color)[None, None, :], cloth.shape
+    )
+    rgb = jnp.where(is_cloth[..., None], cloth, floor)
+    return jnp.clip(rgb, 0.0, 1.0), depth
+
+
+def cloth_mask_from_depth(depth, camera_height: float = CAMERA_HEIGHT):
+    """Cloth mask = anything nearer than the floor (simEnv.py:235)."""
+    return depth < camera_height - 1e-4
