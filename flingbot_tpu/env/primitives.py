@@ -1,0 +1,512 @@
+"""Manipulation primitives as data-driven trajectory programs.
+
+The reference executes primitives as Python control flow around a blocking
+Cartesian servo: movep drives both pickers toward targets in per-sim-step
+increments (environment/simEnv.py:739-769), stretch_cloth widens the grasp
+until the cloth midpoint stops moving (simEnv.py:140-184), lift_cloth raises
+until the cloth clears the ground (simEnv.py:186-200), and
+pick_and_fling / pick_and_drag / pick_and_place / pick_stretch_drag sequence
+them (simEnv.py:262-429).
+
+TPU-native design: a primitive is a *program* — a fixed-length array of
+instructions — executed by ONE `lax.while_loop` whose body contains ONE
+solver step.  Each instruction is a phase:
+
+  kind 0  MOVE      servo to target = base + cd*grasp_dist + ch*fling_height
+  kind 1  STRETCH   closed-loop grasp widening with midpoint-stability test
+  kind 2  LIFT      raise fling height until the cloth clears the ground
+  kind 3  CHECKGRASP if cloth not lifted (max y < 0.2) -> terminate + jump
+  kind 4  CONDJUMP  jump if a build-time condition holds (e.g. no valid grasp)
+  kind 5  DRAGREL   servo to picker_pos + drag_direction (stretchdrag)
+
+Because instructions are plain arrays, programs built from *traced* action
+parameters (p1, p2, grasp flags) stay inside jit, the interpreter compiles
+once per topology, and the whole thing vmaps over environments — the analog
+of the reference's Ray pool of Python loops, with zero host round-trips.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from flingbot_tpu.engine.picker import picker_step
+from flingbot_tpu.engine.solver import step as solver_step
+from flingbot_tpu.engine.state import ClothState, SolverParams
+
+MOVE, STRETCH, LIFT, CHECKGRASP, CONDJUMP, DRAGREL = 0, 1, 2, 3, 4, 5
+
+EPS = 1e-4  # movep convergence (simEnv.py:739)
+DEFAULT_SPEED = 0.1  # movep speed=None fast path (simEnv.py:743-744)
+PHASE_LIMIT = 1000  # movep step limit (simEnv.py:739)
+STRETCH_INCREMENT = 0.02  # simEnv.py:144
+STRETCH_MAX_DIST = 0.7  # simEnv.py:143
+STRETCH_STABLE_TOL = 1.5e-2  # simEnv.py:170
+LIFT_INCREMENT = 0.05  # simEnv.py:189 (lift_cloth increment_step)
+LIFT_MAX_HEIGHT = 0.7
+LIFT_CLEAR = 0.02  # simEnv.py:195 min height to clear ground
+GRASP_CHECK_HEIGHT = 0.2  # is_cloth_grasped (simEnv.py:809-813)
+
+
+class Program(NamedTuple):
+    """(I,)-leading instruction arrays; all leaves are jnp arrays so a
+    Program built from traced values lives on device."""
+
+    kind: jnp.ndarray  # (I,) i32
+    base: jnp.ndarray  # (I, 2, 3) f32 target base
+    cd: jnp.ndarray  # (I, 2, 3) f32 coefficient on grasp_dist
+    ch: jnp.ndarray  # (I, 2, 3) f32 coefficient on fling_height
+    grasp: jnp.ndarray  # (I, 2) f32 grasp flags during the phase
+    speed: jnp.ndarray  # (I,) f32 m per sim step
+    min_steps: jnp.ndarray  # (I,) i32
+    jump: jnp.ndarray  # (I,) i32 jump target for kinds 3/4
+    cond: jnp.ndarray  # (I,) f32 build-time condition for kind 4
+
+    @property
+    def num_instructions(self) -> int:
+        return self.kind.shape[0]
+
+
+class _Instr(NamedTuple):
+    kind: jnp.ndarray
+    base: jnp.ndarray
+    cd: jnp.ndarray
+    ch: jnp.ndarray
+    grasp: jnp.ndarray
+    speed: jnp.ndarray
+    min_steps: jnp.ndarray
+    jump: jnp.ndarray
+    cond: jnp.ndarray
+
+
+def _mk(kind, base=None, cd=None, ch=None, grasp=(0.0, 0.0), speed=DEFAULT_SPEED,
+        min_steps=0, jump=0, cond=0.0):
+    z = jnp.zeros((2, 3), jnp.float32)
+    return _Instr(
+        kind=jnp.int32(kind),
+        base=z if base is None else jnp.asarray(base, jnp.float32).reshape(2, 3),
+        cd=z if cd is None else jnp.asarray(cd, jnp.float32).reshape(2, 3),
+        ch=z if ch is None else jnp.asarray(ch, jnp.float32).reshape(2, 3),
+        grasp=jnp.asarray(grasp, jnp.float32).reshape(2),
+        speed=jnp.float32(speed),
+        min_steps=jnp.int32(min_steps),
+        jump=jnp.int32(jump),
+        cond=jnp.float32(cond),
+    )
+
+
+def _pack(instrs) -> Program:
+    return Program(*(jnp.stack(leaves) for leaves in zip(*instrs)))
+
+
+# coefficient helpers: x = +-dist/2 on pickers 0/1
+_CD_X = jnp.asarray([[0.5, 0, 0], [-0.5, 0, 0]], jnp.float32)
+_CH_Y = jnp.asarray([[0, 1, 0], [0, 1, 0]], jnp.float32)
+
+
+class PrimitiveConfig(NamedTuple):
+    """Static primitive parameters (SimEnv ctor defaults, simEnv.py:51-57)."""
+
+    grasp_height: float = 0.02
+    fling_speed: float = 6e-3
+    fixed_fling_height: float = -1.0
+    stretchdrag_dist: float = 0.3
+    max_program_steps: int = 4000
+
+
+def _park(x=0.5):
+    return jnp.asarray([[x, 0.5, -0.5], [-x, 0.5, -0.5]], jnp.float32)
+
+
+_RESET_TARGETS = [[0.5, 0.5, -0.5], [-0.5, 0.5, -0.5]]  # simEnv.py:771-772
+_OTHER_PARK = [-0.2, 0.3, -0.2]  # idle arm parking for drag/place
+
+
+def build_fling_program(p1, p2, g1, g2, cfg: PrimitiveConfig) -> Program:
+    """pick_and_fling (simEnv.py:283-318) + fling_primitive (262-281)."""
+    gh = cfg.grasp_height
+    p1 = jnp.asarray(p1, jnp.float32).at[1].set(gh)
+    p2 = jnp.asarray(p2, jnp.float32).at[1].set(gh)
+    g1f = jnp.float32(g1)
+    g2f = jnp.float32(g2)
+    any_grasp = jnp.float32(jnp.logical_or(g1, g2))
+    fixed_h = cfg.fixed_fling_height >= 0
+
+    instrs = []
+    # on an aborted primitive the reference returns immediately (the env's
+    # postaction parks the arms), so all jumps target the program end
+    end_pc = 11 if fixed_h else 12
+    # 0: skip everything if neither point grasps cloth (simEnv.py:287-289)
+    instrs.append(_mk(CONDJUMP, cond=1.0 - any_grasp, jump=end_pc))
+    # 1: approach grasp points, no grasp yet (simEnv.py:297)
+    instrs.append(_mk(MOVE, base=jnp.stack([p1, p2])))
+    # 2: lift to pre-fling (simEnv.py:304) with grasp flags engaged
+    instrs.append(_mk(
+        MOVE, base=[[0, 0.3, -0.3], [0, 0.3, -0.3]], cd=_CD_X,
+        grasp=jnp.stack([g1f, g2f]), speed=5e-3))
+    # 3: abort if cloth didn't come up (simEnv.py:305-307)
+    instrs.append(_mk(CHECKGRASP, grasp=jnp.stack([g1f, g2f]), jump=end_pc))
+    # 4: stretch until taut (simEnv.py:308)
+    instrs.append(_mk(STRETCH, grasp=jnp.stack([g1f, g2f]), speed=5e-4,
+                      min_steps=20))
+    # 5: optionally lift until cloth clears ground (simEnv.py:310-314)
+    if not fixed_h:
+        instrs.append(_mk(
+            LIFT, base=[[0, 0, -0.3], [0, 0, -0.3]], cd=_CD_X, ch=_CH_Y,
+            grasp=jnp.stack([g1f, g2f]), speed=1e-3))
+    gflags = jnp.stack([g1f, g2f])
+    # fling strokes (fling_primitive, simEnv.py:262-275)
+    instrs.append(_mk(MOVE, base=[[0, 0, -0.2], [0, 0, -0.2]], cd=_CD_X,
+                      ch=_CH_Y, grasp=gflags, speed=cfg.fling_speed))
+    instrs.append(_mk(MOVE, base=[[0, 0, 0.2], [0, 0, 0.2]], cd=_CD_X,
+                      ch=_CH_Y, grasp=gflags, speed=cfg.fling_speed))
+    instrs.append(_mk(MOVE, base=[[0, 0, 0.2], [0, 0, 0.2]], cd=_CD_X,
+                      ch=_CH_Y, grasp=gflags, speed=1e-2, min_steps=4))
+    # lower + release
+    instrs.append(_mk(MOVE, base=[[0, 2 * gh, -0.2], [0, 2 * gh, -0.2]],
+                      cd=_CD_X, grasp=gflags, speed=1e-2))
+    instrs.append(_mk(MOVE, base=[[0, 2 * gh, -0.25], [0, 2 * gh, -0.25]],
+                      cd=_CD_X, grasp=gflags, speed=5e-3))
+    # reset end effectors, grasp released (simEnv.py:276-281)
+    instrs.append(_mk(MOVE, base=_RESET_TARGETS, speed=5e-3))
+    prog = _pack(instrs)
+    init_fh = cfg.fixed_fling_height if fixed_h else 0.3
+    return prog, jnp.float32(init_fh)
+
+
+def build_drag_program(p1, p2, g1, g2, cfg: PrimitiveConfig) -> Program:
+    """pick_and_drag (simEnv.py:320-344): single-arm drag along the ground."""
+    gh = cfg.grasp_height
+    p1 = jnp.asarray(p1, jnp.float32).at[1].set(gh)
+    p2 = jnp.asarray(p2, jnp.float32).at[1].set(gh)
+    pre = p1.at[1].set(0.3)
+    post = p2.at[1].set(0.3)
+    other = jnp.asarray(_OTHER_PARK, jnp.float32)
+    g1f = jnp.float32(g1)
+
+    instrs = [
+        _mk(CONDJUMP, cond=1.0 - g1f, jump=6),
+        _mk(MOVE, base=jnp.stack([pre, other]), speed=5e-3),
+        _mk(MOVE, base=jnp.stack([p1, other]), speed=5e-3),
+        _mk(MOVE, base=jnp.stack([p2, other]), grasp=(1.0, 0.0), speed=5e-3),
+        _mk(MOVE, base=jnp.stack([post, other]), speed=5e-3),
+        _mk(MOVE, base=_RESET_TARGETS, speed=5e-3),
+    ]
+    return _pack(instrs), jnp.float32(0.3)
+
+
+def build_place_program(p1, p2, g1, g2, cfg: PrimitiveConfig,
+                        lift_height: float = 0.2) -> Program:
+    """pick_and_place (simEnv.py:346-372)."""
+    gh = cfg.grasp_height
+    p1 = jnp.asarray(p1, jnp.float32).at[1].set(gh)
+    p2 = jnp.asarray(p2, jnp.float32).at[1].set(gh)
+    prepick = p1.at[1].set(lift_height)
+    preplace = p2.at[1].set(lift_height)
+    other = jnp.asarray(_OTHER_PARK, jnp.float32)
+    g1f = jnp.float32(g1)
+
+    instrs = [
+        _mk(CONDJUMP, cond=1.0 - g1f, jump=8),
+        _mk(MOVE, base=jnp.stack([prepick, other]), speed=5e-3),
+        _mk(MOVE, base=jnp.stack([p1, other]), speed=5e-3),
+        _mk(MOVE, base=jnp.stack([prepick, other]), grasp=(1.0, 0.0),
+            speed=5e-3),
+        _mk(MOVE, base=jnp.stack([preplace, other]), grasp=(1.0, 0.0),
+            speed=5e-3),
+        _mk(MOVE, base=jnp.stack([p2, other]), grasp=(1.0, 0.0), speed=5e-3),
+        _mk(MOVE, base=jnp.stack([preplace, other]), speed=5e-3),
+        _mk(MOVE, base=_RESET_TARGETS, speed=5e-3),
+    ]
+    return _pack(instrs), jnp.float32(0.3)
+
+
+def build_stretchdrag_program(p1, p2, g1, g2, cfg: PrimitiveConfig) -> Program:
+    """pick_stretch_drag (simEnv.py:374-429)."""
+    gh = cfg.grasp_height
+    p1 = jnp.asarray(p1, jnp.float32).at[1].set(gh)
+    p2 = jnp.asarray(p2, jnp.float32).at[1].set(gh)
+    pre1 = p1.at[1].set(0.3)
+    pre2 = p2.at[1].set(0.3)
+    g1f = jnp.float32(g1)
+    g2f = jnp.float32(g2)
+    both = g1f * g2f
+    any_grasp = jnp.float32(jnp.logical_or(g1, g2))
+    gflags = jnp.stack([g1f, g2f])
+
+    # drag direction: cross(l - r, up) scaled (simEnv.py:409-412)
+    d = p1 - p2
+    drag = jnp.cross(d, jnp.asarray([0.0, 1.0, 0.0]))
+    drag = cfg.stretchdrag_dist * drag / jnp.maximum(
+        jnp.linalg.norm(drag), 1e-9)
+    drag = drag + jnp.asarray([0.0, 0.1, 0.0])  # keep ee above cloth (:418)
+
+    instrs = [
+        _mk(CONDJUMP, cond=1.0 - any_grasp, jump=8),
+        _mk(MOVE, base=jnp.stack([pre1, pre2])),
+        _mk(MOVE, base=jnp.stack([p1, p2]), speed=2e-3),
+        # stretch only if both points grasp cloth (simEnv.py:404-406);
+        # keep grasp flags through the jump so nothing is dropped
+        _mk(CONDJUMP, cond=1.0 - both, jump=5, grasp=gflags),
+        _mk(STRETCH, grasp=gflags, speed=5e-4, min_steps=20),
+        _mk(DRAGREL, base=jnp.stack([drag, drag]), grasp=gflags, speed=2e-3),
+        # postend: lift away from the drop point (approximates the
+        # reference's picker-relative postend, simEnv.py:421-428)
+        _mk(MOVE, base=jnp.stack([pre1 + drag, pre2 + drag])),
+        _mk(MOVE, base=_RESET_TARGETS, speed=5e-3),
+    ]
+    # stretch at grasp height (fling_height := grasp_height, simEnv.py:405-406)
+    return _pack(instrs), jnp.float32(gh)
+
+
+PROGRAM_BUILDERS = {
+    "fling": build_fling_program,
+    "drag": build_drag_program,
+    "place": build_place_program,
+    "stretchdrag": build_stretchdrag_program,
+}
+
+
+class _Carry(NamedTuple):
+    state: ClothState
+    pc: jnp.ndarray
+    phase_step: jnp.ndarray
+    total_steps: jnp.ndarray
+    targets: jnp.ndarray  # (2, 3) current servo targets
+    grasp_dist: jnp.ndarray
+    fling_height: jnp.ndarray
+    stretch_mid: jnp.ndarray  # (3,)
+    stretch_dir: jnp.ndarray  # (3,)
+    cloth_mid: jnp.ndarray  # (3,)
+    stable_steps: jnp.ndarray
+    terminate: jnp.ndarray  # bool
+
+
+def run_program(
+    state: ClothState,
+    topo,
+    params: SolverParams,
+    program: Program,
+    init_grasp_dist,
+    init_fling_height,
+    *,
+    max_steps: int = 4000,
+    substeps: int = 4,
+    iterations: int = 30,
+    self_collision: bool = True,
+    spring_mode: str = "gs",
+):
+    """Execute a primitive program; returns (state, terminate_flag)."""
+    num_instr = program.num_instructions
+
+    def active_pos(st):
+        return st.positions, st.active
+
+    def get_instr(pc):
+        pcc = jnp.clip(pc, 0, num_instr - 1)
+        return _Instr(*(jax.tree_util.tree_map(lambda a: a[pcc], program)))
+
+    def cond(c: _Carry):
+        return (c.pc < num_instr) & (c.total_steps < max_steps)
+
+    def body(c: _Carry):
+        ins = get_instr(c.pc)
+        st = c.state
+        entry = c.phase_step == 0
+
+        # ---- phase-entry target setup -------------------------------------
+        static_target = (
+            ins.base + ins.cd * c.grasp_dist + ins.ch * c.fling_height
+        )
+
+        def stretch_entry():
+            left = st.picker_pos[0].at[1].set(c.fling_height)
+            right = st.picker_pos[1].at[1].set(c.fling_height)
+            mid = (left + right) / 2
+            direction = left - right
+            direction = direction / jnp.maximum(
+                jnp.linalg.norm(direction), 1e-9)
+            return jnp.stack([left, right]), mid, direction
+
+        is_stretch = ins.kind == STRETCH
+        is_lift = ins.kind == LIFT
+        is_dragrel = ins.kind == DRAGREL
+
+        s_targets, s_mid, s_dir = stretch_entry()
+        drag_target = st.picker_pos + ins.base
+
+        targets = jnp.where(
+            entry,
+            jnp.where(
+                is_stretch, s_targets,
+                jnp.where(is_dragrel, drag_target,
+                          jnp.where(is_lift, static_target, static_target)),
+            ),
+            jnp.where(is_stretch | is_lift | is_dragrel,
+                      c.targets, static_target),
+        )
+        stretch_mid = jnp.where(entry & is_stretch, s_mid, c.stretch_mid)
+        stretch_dir = jnp.where(entry & is_stretch, s_dir, c.stretch_dir)
+        grasp_dist_eff = jnp.where(
+            entry & is_stretch,
+            jnp.linalg.norm(st.picker_pos[0] - st.picker_pos[1]),
+            c.grasp_dist,
+        )
+        cloth_mid = jnp.where(entry & is_stretch, jnp.inf, c.cloth_mid)
+        stable = jnp.where(entry & is_stretch, 0, c.stable_steps)
+
+        # ---- reached? -----------------------------------------------------
+        dists = jnp.linalg.norm(targets - st.picker_pos, axis=1)
+        reached = jnp.all(dists < EPS) & (c.phase_step >= ins.min_steps)
+        timeout = c.phase_step >= PHASE_LIMIT
+
+        # ---- completion / in-phase transitions ----------------------------
+        pos, act = active_pos(st)
+
+        # STRETCH bookkeeping (simEnv.py:156-184)
+        high = act & (pos[:, 1] > c.fling_height - 0.1)
+        any_high = jnp.any(high)
+        xs = pos[:, 0]
+        single_grasp = any_high & (
+            jnp.all(jnp.where(high, xs < 0, True))
+            | jnp.all(jnp.where(high, xs > 0, True))
+        )
+        d2 = (pos[:, 0] - stretch_mid[0]) ** 2 + (pos[:, 2] - stretch_mid[2]) ** 2
+        d2 = jnp.where(act, d2, jnp.inf)
+        new_mid = pos[jnp.argmin(d2)]
+        mid_stable = jnp.linalg.norm(new_mid - cloth_mid) < STRETCH_STABLE_TOL
+        stable_next = jnp.where(mid_stable, stable + 1, 0)
+        stretched = stable_next > 2
+        over = grasp_dist_eff + STRETCH_INCREMENT > STRETCH_MAX_DIST
+        stretch_done = reached & (stretched | single_grasp | over)
+        widen = reached & ~stretch_done
+        gd_next = jnp.where(widen, grasp_dist_eff + STRETCH_INCREMENT,
+                            grasp_dist_eff)
+        half = gd_next / 2
+        widen_left = stretch_mid + stretch_dir * half
+        widen_right = stretch_mid - stretch_dir * half
+        widen_targets = jnp.stack([
+            widen_left.at[1].set(c.fling_height),
+            widen_right.at[1].set(c.fling_height),
+        ])
+
+        # LIFT bookkeeping (simEnv.py:186-200)
+        min_y = jnp.min(jnp.where(act, pos[:, 1], jnp.inf))
+        clear = min_y > LIFT_CLEAR
+        at_max = c.fling_height >= LIFT_MAX_HEIGHT
+        lift_done = reached & (clear | at_max)
+        raise_h = reached & ~lift_done
+        fh_next = jnp.where(raise_h, c.fling_height + LIFT_INCREMENT,
+                            c.fling_height)
+
+        # CHECKGRASP (simEnv.py:305-307, 809-813)
+        max_y = jnp.max(jnp.where(act, pos[:, 1], -jnp.inf))
+        grasp_failed = max_y < GRASP_CHECK_HEIGHT
+
+        # dispatch on kind
+        kind = ins.kind
+        done = jnp.where(
+            kind == MOVE, reached,
+            jnp.where(kind == STRETCH, stretch_done,
+                      jnp.where(kind == LIFT, lift_done, True)))
+        done = done | timeout
+
+        jumping = ((kind == CHECKGRASP) & grasp_failed) | (
+            (kind == CONDJUMP) & (ins.cond > 0.5))
+        next_pc = jnp.where(done, jnp.where(jumping, ins.jump, c.pc + 1), c.pc)
+        terminate = c.terminate | ((kind == CHECKGRASP) & grasp_failed)
+
+        # in-phase target update for stretch/lift
+        targets = jnp.where((kind == STRETCH) & widen, widen_targets, targets)
+        targets = jnp.where(
+            (kind == LIFT) & raise_h,
+            ins.base + ins.cd * c.grasp_dist + ins.ch * fh_next,
+            targets,
+        )
+
+        # ---- servo + simulate one step (unless this was a pure jump) ------
+        is_jump_kind = (kind == CHECKGRASP) | (kind == CONDJUMP)
+        delta_t = targets - st.picker_pos
+        dd = jnp.linalg.norm(delta_t, axis=1, keepdims=True)
+        move = jnp.where(dd < ins.speed, delta_t,
+                         delta_t / jnp.maximum(dd, 1e-9) * ins.speed)
+        action = jnp.concatenate([move, ins.grasp[:, None]], axis=1)
+
+        def do_sim(s):
+            s = picker_step(s, action, dt=params.dt)
+            return solver_step(
+                s, topo, params, substeps=substeps, iterations=iterations,
+                self_collision=self_collision, spring_mode=spring_mode)
+
+        st = jax.lax.cond(is_jump_kind, lambda s: s, do_sim, st)
+
+        return _Carry(
+            state=st,
+            pc=next_pc,
+            phase_step=jnp.where(done, 0, c.phase_step + 1),
+            total_steps=c.total_steps + jnp.where(is_jump_kind, 0, 1),
+            targets=targets,
+            grasp_dist=gd_next,
+            fling_height=fh_next,
+            stretch_mid=stretch_mid,
+            stretch_dir=stretch_dir,
+            cloth_mid=jnp.where((kind == STRETCH) & reached, new_mid,
+                                cloth_mid),
+            stable_steps=jnp.where((kind == STRETCH) & reached,
+                                   stable_next, stable),
+            terminate=terminate,
+        )
+
+    init = _Carry(
+        state=state,
+        pc=jnp.int32(0),
+        phase_step=jnp.int32(0),
+        total_steps=jnp.int32(0),
+        targets=state.picker_pos,
+        grasp_dist=jnp.float32(init_grasp_dist),
+        fling_height=jnp.float32(init_fling_height),
+        stretch_mid=jnp.zeros(3, jnp.float32),
+        stretch_dir=jnp.asarray([1.0, 0.0, 0.0], jnp.float32),
+        cloth_mid=jnp.full(3, jnp.inf, jnp.float32),
+        stable_steps=jnp.int32(0),
+        terminate=jnp.bool_(False),
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    return out.state, out.terminate
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "primitive", "cfg", "substeps", "iterations", "self_collision",
+        "spring_mode",
+    ),
+)
+def execute_primitive(
+    state: ClothState,
+    topo,
+    params: SolverParams,
+    primitive: str,
+    p1,
+    p2,
+    p1_grasp,
+    p2_grasp,
+    cfg: PrimitiveConfig = PrimitiveConfig(),
+    substeps: int = 4,
+    iterations: int = 30,
+    self_collision: bool = True,
+    spring_mode: str = "gs",
+):
+    """Build + run one primitive program.  Returns (state, terminated)."""
+    prog, init_fh = PROGRAM_BUILDERS[primitive](
+        p1, p2, p1_grasp, p2_grasp, cfg)
+    dist = jnp.linalg.norm(jnp.asarray(p1) - jnp.asarray(p2))
+    return run_program(
+        state, topo, params, prog, dist, init_fh,
+        max_steps=cfg.max_program_steps, substeps=substeps,
+        iterations=iterations, self_collision=self_collision,
+        spring_mode=spring_mode,
+    )
