@@ -48,7 +48,7 @@ class Scene:
 
 def make_scene(
     config: Dict[str, Any],
-    capacity: int = DEFAULT_CAPACITY,
+    capacity: "int | None" = None,
     max_grid_dim: int = MAX_GRID_DIM,
 ) -> Scene:
     """Build topology + fresh state from a reference-style config dict
@@ -96,7 +96,8 @@ def make_scene(
             lower=(float(cloth_pos[0]), -float(cloth_pos[1]), float(cloth_pos[2])),
         )
         inv_mass = np.full(n, n / cloth_mass, np.float32)
-        state = ClothState.create(pos, inv_mass, capacity=capacity)
+        state = ClothState.create(
+            pos, inv_mass, capacity=capacity or max_grid_dim * max_grid_dim)
     return Scene(topo=topo, state=state, config=dict(config))
 
 
@@ -136,10 +137,11 @@ def apply_state(scene: Scene, state_dict: Dict[str, Any]) -> Scene:
 def set_scene(
     config: Dict[str, Any],
     state: Optional[Dict[str, Any]] = None,
-    capacity: int = DEFAULT_CAPACITY,
+    capacity: "int | None" = None,
+    max_grid_dim: int = MAX_GRID_DIM,
 ) -> Scene:
     """set_scene parity (flex_utils.py:320-355): build + optionally restore."""
-    scene = make_scene(config, capacity=capacity)
+    scene = make_scene(config, capacity=capacity, max_grid_dim=max_grid_dim)
     if state is not None:
         scene = apply_state(scene, state)
     return scene

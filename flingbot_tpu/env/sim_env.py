@@ -1,0 +1,335 @@
+"""SimEnv: the cloth-unfolding environment, API-compatible with the
+reference SimEnv (environment/simEnv.py:32-816) but with the entire
+act -> simulate -> reward -> observe loop living on device.
+
+One env.step(value_maps):
+  1. dense masked-argmax action selection        (action.py; simEnv.py:560-661)
+  2. primitive execution as a trajectory program (primitives.py; :262-429)
+  3. postaction stabilization + no-move early exit           (:466-477)
+  4. delta-coverage reward                                   (:479-502)
+  5. on-device RGB-D render -> 96-view transform stack       (:690-737)
+
+The Ray-actor surface (setup_ray / ray_handle, simEnv.py:815-816) is gone:
+batching over envs is jax.vmap (see batch_env.py), not process pools.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flingbot_tpu.engine.picker import release_all
+from flingbot_tpu.engine.solver import step as solver_step
+from flingbot_tpu.engine.state import SolverParams
+from flingbot_tpu.env.action import ActionSelection, select_action
+from flingbot_tpu.env.coverage import get_current_covered_area
+from flingbot_tpu.env.observation import Observation, compute_observation
+from flingbot_tpu.env.primitives import (
+    PROGRAM_BUILDERS,
+    PrimitiveConfig,
+    run_program,
+)
+from flingbot_tpu.env.scene import set_scene
+from flingbot_tpu.env.tasks import Task
+from flingbot_tpu.learning.memory import Memory
+
+PARK_PICKERS = np.array([[0.5, 0.5, -0.5], [-0.5, 0.5, -0.5]], np.float32)
+NO_MOVE_EPS = 5e-2  # postaction early-exit threshold (simEnv.py:475-477)
+STABLE_TOL = 1e-2  # wait_until_stable tolerance (flex_utils.py:430)
+STABLE_MAX_STEPS = 300
+
+
+def _stabilize(state, topo, params, *, substeps, iterations, self_collision,
+               spring_mode, max_steps=STABLE_MAX_STEPS, tol=STABLE_TOL):
+    """wait_until_stable as a bounded while_loop (flex_utils.py:430-441)."""
+
+    def vmax(st):
+        return jnp.max(jnp.abs(
+            jnp.where(st.active[:, None], st.velocities, 0.0)))
+
+    def cond(c):
+        st, k = c
+        return (k < max_steps) & (vmax(st) >= tol)
+
+    def body(c):
+        st, k = c
+        st = solver_step(st, topo, params, substeps=substeps,
+                         iterations=iterations, self_collision=self_collision,
+                         spring_mode=spring_mode)
+        return st, k + 1
+
+    state, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
+    return state
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("primitives", "prim_cfg", "pix_grasp_dist",
+                     "pix_drag_dist", "pix_place_dist", "substeps",
+                     "iterations", "self_collision", "spring_mode"),
+)
+def step_core(
+    state,
+    topo,
+    params: SolverParams,
+    value_maps: jnp.ndarray,  # (P, T, D, D)
+    obs: Observation,
+    rotations: jnp.ndarray,
+    primitives: Sequence[str],
+    prim_cfg: PrimitiveConfig,
+    pix_grasp_dist: int = 8,
+    pix_drag_dist: int = 10,
+    pix_place_dist: int = 10,
+    substeps: int = 4,
+    iterations: int = 30,
+    self_collision: bool = True,
+    spring_mode: str = "gs",
+):
+    """Device-side env step: action -> primitive -> stabilize -> reward."""
+    sel = select_action(
+        value_maps, obs, rotations, primitives=primitives,
+        pix_grasp_dist=pix_grasp_dist, pix_drag_dist=pix_drag_dist,
+        pix_place_dist=pix_place_dist,
+    )
+    pre_pos = state.positions
+    pre_cov = get_current_covered_area(state.positions, state.active)
+
+    sim_kw = dict(substeps=substeps, iterations=iterations,
+                  self_collision=self_collision, spring_mode=spring_mode)
+
+    def make_branch(prim_name):
+        def branch(st):
+            prog, init_fh = PROGRAM_BUILDERS[prim_name](
+                sel.p1_world, sel.p2_world, sel.p1_grasp, sel.p2_grasp,
+                prim_cfg)
+            dist = jnp.linalg.norm(sel.p1_world - sel.p2_world)
+            return run_program(
+                st, topo, params, prog, dist, init_fh,
+                max_steps=prim_cfg.max_program_steps, **sim_kw)
+        return branch
+
+    branches = [make_branch(p) for p in primitives]
+    if len(branches) == 1:
+        state, prim_term = branches[0](state)
+    else:
+        state, prim_term = jax.lax.switch(sel.prim_idx, branches, state)
+
+    # postaction (simEnv.py:469-477): release, park arms, settle
+    state = release_all(state)
+    state = state.replace(picker_pos=jnp.asarray(PARK_PICKERS))
+    state = _stabilize(state, topo, params, **sim_kw)
+
+    disp = jnp.max(jnp.where(
+        state.active,
+        jnp.linalg.norm(state.positions - pre_pos, axis=1),
+        0.0,
+    ))
+    no_move = disp < NO_MOVE_EPS
+    post_cov = get_current_covered_area(state.positions, state.active)
+    terminate = prim_term | no_move
+    return state, sel, pre_cov, post_cov, terminate
+
+
+class SimEnv:
+    """Host-side orchestrator for a single environment.
+
+    Constructor keywords mirror the reference SimEnv (simEnv.py:33-116);
+    `gui`, Ray and Blender specifics are intentionally gone."""
+
+    def __init__(
+        self,
+        get_task_fn: Callable[[], Task],
+        replay_buffer_path: Optional[str] = None,
+        obs_dim: int = 64,
+        num_rotations: int = 12,
+        scale_factors: Sequence[float] = (1.0, 1.5, 2.0, 2.5),
+        action_primitives: Sequence[str] = ("fling",),
+        pix_grasp_dist: int = 8,
+        pix_drag_dist: int = 10,
+        pix_place_dist: int = 10,
+        stretchdrag_dist: float = 0.3,
+        reach_distance_limit: float = 1.2,
+        fixed_fling_height: float = -1.0,
+        conservative_grasp_radius: int = 1,
+        use_adaptive_scaling: bool = True,
+        grasp_height: float = 0.02,
+        fling_speed: float = 6e-3,
+        episode_length: int = 10,
+        render_dim: int = 400,
+        particle_radius: float = 0.00625,
+        dump_visualizations: bool = False,
+        self_collision: bool = True,
+        spring_mode: str = "gs",
+        max_grid_dim: int = 104,
+        **_unused,
+    ):
+        self.get_task_fn = get_task_fn
+        self.replay_buffer_path = replay_buffer_path
+        self.obs_dim = obs_dim
+        self.image_dim = render_dim
+        self.episode_length = episode_length
+        self.particle_radius = particle_radius
+        self.action_primitives = tuple(action_primitives)
+        # rotations formula (simEnv.py:70-76)
+        if "fling" in self.action_primitives:
+            self.rotations = np.array(
+                [(2 * i / (num_rotations - 1) - 1) * 90
+                 for i in range(num_rotations)], np.float32)
+        else:
+            self.rotations = np.array(
+                [(2 * i / num_rotations - 1) * 180
+                 for i in range(num_rotations)], np.float32)
+        self.scale_factors = np.asarray(scale_factors, np.float32)
+        self.adaptive_scale_factors = self.scale_factors.copy()
+        self.use_adaptive_scaling = use_adaptive_scaling
+        self.conservative_grasp_radius = conservative_grasp_radius
+        self.pix_grasp_dist = pix_grasp_dist
+        self.pix_drag_dist = pix_drag_dist
+        self.pix_place_dist = pix_place_dist
+        self.reach_distance_limit = reach_distance_limit
+        self.dump_visualizations = dump_visualizations
+        self.self_collision = self_collision
+        self.spring_mode = spring_mode
+        self.max_grid_dim = max_grid_dim
+        self.prim_cfg = PrimitiveConfig(
+            grasp_height=grasp_height,
+            fling_speed=fling_speed,
+            fixed_fling_height=fixed_fling_height,
+            stretchdrag_dist=stretchdrag_dist,
+        )
+        self.params = SolverParams()
+
+        self.current_task: Optional[Task] = None
+        self.episode_memory = Memory()
+        self.current_timestep = 0
+        self.terminate = False
+        self.episode_count = 0
+
+    # ------------------------------------------------------------------
+
+    def _observe(self) -> Observation:
+        obs = compute_observation(
+            self.state.positions,
+            self.state.active,
+            jnp.asarray(self.rotations),
+            jnp.asarray(self.scale_factors),
+            image_size=self.image_dim,
+            obs_dim=self.obs_dim,
+            conservative_grasp_radius=self.conservative_grasp_radius,
+            use_adaptive_scaling=self.use_adaptive_scaling,
+            reach_distance_limit=self.reach_distance_limit,
+        )
+        self.adaptive_scale_factors = np.asarray(obs.adaptive_scales)
+        return obs
+
+    def get_transformations(self) -> List:
+        return [
+            (float(r), float(s))
+            for r in self.rotations for s in self.adaptive_scale_factors
+        ]
+
+    def reset(self):
+        self.episode_memory = Memory()
+        self.current_timestep = 0
+        self.terminate = False
+        self.current_task = self.get_task_fn()
+        scene = set_scene(
+            self.current_task.get_config(), self.current_task.get_state(),
+            max_grid_dim=self.max_grid_dim)
+        self.topo = scene.topo
+        self.state = scene.state.replace(
+            picker_pos=jnp.asarray(PARK_PICKERS))
+        self.state = solver_step(
+            self.state, self.topo, self.params,
+            self_collision=self.self_collision, spring_mode=self.spring_mode)
+        self.init_coverage = float(get_current_covered_area(
+            self.state.positions, self.state.active))
+        self.obs = self._observe()
+        self.episode_memory.add_value(
+            "pretransform_observations", self._pretransform_obs())
+        return self.obs.obs_stack
+
+    def _pretransform_obs(self) -> np.ndarray:
+        rgb = np.asarray(self.obs.rgb)
+        d = np.asarray(self.obs.depth)
+        return np.concatenate(
+            [np.transpose(rgb, (2, 0, 1)), d[None]], axis=0
+        ).astype(np.float32)
+
+    def step(self, value_maps):
+        """value_maps: {primitive: (T, D, D)} or (P, T, D, D) array.
+        Returns the next transformed obs stack (T, 4, D, D)."""
+        if isinstance(value_maps, dict):
+            vm = jnp.stack(
+                [jnp.asarray(value_maps[p]) for p in self.action_primitives])
+        else:
+            vm = jnp.asarray(value_maps)
+
+        new_state, sel, pre_cov, post_cov, terminate = step_core(
+            self.state, self.topo, self.params, vm, self.obs,
+            jnp.asarray(self.rotations),
+            primitives=self.action_primitives,
+            prim_cfg=self.prim_cfg,
+            pix_grasp_dist=self.pix_grasp_dist,
+            pix_drag_dist=self.pix_drag_dist,
+            pix_place_dist=self.pix_place_dist,
+            self_collision=self.self_collision,
+            spring_mode=self.spring_mode,
+        )
+        self.state = new_state
+        self._log_step(sel, vm, float(pre_cov), float(post_cov))
+
+        self.current_timestep += 1
+        self.terminate = bool(terminate) or (
+            self.current_timestep >= self.episode_length)
+        reward = float(post_cov) - float(pre_cov)
+        self.episode_memory.add_rewards_and_termination(
+            reward, self.terminate)
+
+        self.obs = self._observe()
+        self.episode_memory.add_value(
+            "next_observations", self._pretransform_obs())
+        if self.terminate:
+            self.on_episode_end()
+            return self.reset()
+        self.episode_memory.add_value(
+            "pretransform_observations", self._pretransform_obs())
+        return self.obs.obs_stack
+
+    def _log_step(self, sel: ActionSelection, vm, pre_cov, post_cov):
+        """log_step_stats parity (simEnv.py:434-464)."""
+        mem = self.episode_memory
+        t = int(sel.transform_idx)
+        prim = self.action_primitives[int(sel.prim_idx)]
+        mem.add_observation(np.asarray(self.obs.obs_stack[t]))
+        mem.add_action(np.asarray(sel.action_mask))
+        mem.add_value("preaction_coverage", pre_cov)
+        mem.add_value("postaction_coverage", post_cov)
+        mem.add_value("rotation", float(sel.rotation))
+        mem.add_value("scale", float(sel.scale))
+        mem.add_value("value_map", np.asarray(vm[int(sel.prim_idx), t]))
+        mem.add_value("action_primitive", prim)
+        mem.add_value("max_indices", np.asarray(
+            [t, int(sel.row), int(sel.col)]))
+        for key, value in self.current_task.get_stats().items():
+            mem.add_value(key, value)
+
+    def on_episode_end(self):
+        self.episode_count += 1
+        if self.replay_buffer_path is not None and len(self.episode_memory):
+            self.episode_memory.dump(self.replay_buffer_path)
+        self.episode_memory = Memory()
+
+    # -- small parity helpers ------------------------------------------
+
+    def compute_coverage(self) -> float:
+        return float(get_current_covered_area(
+            self.state.positions, self.state.active))
+
+    def is_cloth_grasped(self) -> bool:
+        ys = np.asarray(self.state.positions[:, 1])
+        return bool(ys.max() > 0.2)

@@ -259,6 +259,7 @@ def generate_randomization(
     cloth_type: str = "square",
     cloth_mesh_path: Optional[str] = None,
     params: Optional[SolverParams] = None,
+    max_grid_dim: int = 104,
 ) -> Optional[Dict]:
     """Generate one crumpled-cloth task (reference tasks.py:105-284).
 
@@ -319,11 +320,11 @@ def generate_randomization(
         "flip_mesh": 0,
         **mesh_arrays,
     }
-    scene = scene_mod.make_scene(config)
+    scene = scene_mod.make_scene(config, max_grid_dim=max_grid_dim)
     topo, state = scene.topo, scene.state
 
     if cloth_type == "mesh":
-        pos = np.asarray(state.positions)
+        pos = np.array(state.positions)
         pos[:num_particles] = np.asarray(
             mesh_arrays["mesh_verts"], np.float32).reshape(-1, 3)
         pos[:num_particles, 1] += 0.1
@@ -331,7 +332,7 @@ def generate_randomization(
         state = jax.jit(lambda s: _sim_n(s, topo, params, 40))(state)
     else:
         flat = scene_mod.flatten_positions(scene)
-        pos = np.asarray(state.positions)
+        pos = np.array(state.positions)
         pos[: flat.shape[0]] = flat
         state = state.replace(
             positions=jnp.asarray(pos),
