@@ -1,0 +1,82 @@
+"""Headline benchmark: XPBD env-steps/sec/chip on a 100x100-particle cloth
+with 512 vmapped envs (the BASELINE.json metric).
+
+One env-step = one NvFlexUpdateSolver-equivalent tick at flingbot physics
+settings: dt=1/100, 4 substeps x 30 iterations, springs + ground friction +
+hash-grid self-collision (softgym_cloth.h:154-170, main.cpp:717,2273).
+
+Baseline denominator: the reference repo publishes no throughput numbers
+(SURVEY §6), so we use the documented operating point as the estimate — a
+single GPU running `--num_processes 16` FleX envs (README.md:147-148,171),
+generously assumed at 125 sim-steps/s each => 2,000 env-steps/s/GPU.
+`vs_baseline` is our env-steps/s/chip divided by that.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_ENV_STEPS_PER_SEC = 2000.0
+
+
+def main(num_envs: int = 512, dim: int = 100, steps: int = 20,
+         self_collision: bool = True):
+    import jax
+    import jax.numpy as jnp
+
+    from flingbot_tpu.engine.solver import step as solver_step
+    from flingbot_tpu.engine.state import ClothState, SolverParams
+    from flingbot_tpu.engine.topology import build_grid_topology, grid_positions
+
+    pos = grid_positions(dim, dim, lower=(0.0, 0.005, 0.0))
+    pos[:, [0, 2]] -= pos[:, [0, 2]].mean(axis=0)
+    n = dim * dim
+    inv_mass = np.full(n, n / 0.5, np.float32)
+    state = ClothState.create(pos, inv_mass)
+    topo = build_grid_topology(dim, dim, max_dimx=dim, max_dimy=dim)
+    params = SolverParams()
+
+    batch = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (num_envs,) + x.shape), state)
+
+    step_fn = jax.jit(jax.vmap(
+        lambda s: solver_step(
+            s, topo, params, substeps=4, iterations=30,
+            self_collision=self_collision, spring_mode="gs"),
+    ))
+
+    # compile + warmup
+    batch = step_fn(batch)
+    jax.block_until_ready(batch.positions)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        batch = step_fn(batch)
+    jax.block_until_ready(batch.positions)
+    dt = time.perf_counter() - t0
+
+    env_steps_per_sec = num_envs * steps / dt
+    print(json.dumps({
+        "metric": "xpbd_env_steps_per_sec_per_chip"
+                  f" ({dim}x{dim} cloth, {num_envs} envs, 4x30 iters,"
+                  f" self_collision={self_collision})",
+        "value": round(env_steps_per_sec, 1),
+        "unit": "env-steps/s/chip",
+        "vs_baseline": round(env_steps_per_sec / BASELINE_ENV_STEPS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--num_envs", type=int, default=512)
+    p.add_argument("--dim", type=int, default=100)
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--no_self_collision", action="store_true")
+    a = p.parse_args()
+    main(a.num_envs, a.dim, a.steps, not a.no_self_collision)

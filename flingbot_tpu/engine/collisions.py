@@ -6,13 +6,13 @@ stage names are documented by its timers, reference:
 PyFlex/include/NvFlex.h:197-223) and filters pairs that are neighbors in the
 rest configuration (eNvFlexPhaseSelfCollideFilter, NvFlex.h:165-166).
 
-TPU-native design: everything fixed-shape.  Particles are keyed by a hashed
-cell id, argsorted, and each particle probes the 27 neighboring cells with a
-binary search into the sorted keys, taking up to K_CELL candidates per cell.
-The K nearest surviving candidates per particle are kept as an (N, K)
-neighbor table, rebuilt once per step and reused by every substep's contact
-projection (Jacobi, one-sided: each side of a pair computes its own push, so
-no scatters are needed).
+TPU-native design: everything fixed-shape and SoA.  Particles are keyed by a
+hashed cell id, argsorted, and each particle probes the 27 neighboring cells
+with a binary search into the sorted keys, taking up to K_CELL candidates
+per cell.  The K nearest surviving candidates per particle are kept as a
+(K, N) neighbor table (N in the lane dimension), rebuilt once per step and
+reused by every substep's contact projection (Jacobi, one-sided: each side
+of a pair computes its own push, so no scatters are needed).
 """
 
 from __future__ import annotations
@@ -33,105 +33,105 @@ _OFFSETS = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
             for dz in (-1, 0, 1)]
 
 
-def _cell_hash(cell: jnp.ndarray) -> jnp.ndarray:
-    """cell: (..., 3) int32 -> (...,) int32 in [0, HASH_SIZE)."""
-    h = (cell[..., 0] * _P1) ^ (cell[..., 1] * _P2) ^ (cell[..., 2] * _P3)
+def _cell_hash(cx, cy, cz) -> jnp.ndarray:
+    h = (cx * _P1) ^ (cy * _P2) ^ (cz * _P3)
     return h & (HASH_SIZE - 1)
 
 
 def _gather_candidates(pos, active, cell_size):
-    """Shared hash-grid probe.  Returns (cand_idx (N, 27*K_CELL) i32,
-    cand_ok (N, 27*K_CELL) bool) — candidate particle ids per particle."""
-    n = pos.shape[0]
-    cell = jnp.floor(pos / cell_size).astype(jnp.int32)
-    h = _cell_hash(cell)
+    """pos (3, N).  Returns (cand_idx (C, N) i32, cand_ok (C, N) bool) with
+    C = 27 * K_CELL candidate particle ids per particle."""
+    n = pos.shape[1]
+    cell = jnp.floor(pos / cell_size).astype(jnp.int32)  # (3, N)
+    h = _cell_hash(cell[0], cell[1], cell[2])
     key = jnp.where(active, h, HASH_SIZE)  # park inactive at the end
     order = jnp.argsort(key)
     skey = key[order]
 
+    ks = jnp.arange(K_CELL)[:, None]  # (K_CELL, 1)
     cand_idx, cand_ok = [], []
-    ks = jnp.arange(K_CELL)
     for off in _OFFSETS:
-        hq = _cell_hash(cell + jnp.array(off, jnp.int32))
-        start = jnp.searchsorted(skey, hq)
-        slots = jnp.minimum(start[:, None] + ks[None, :], n - 1)
-        ok = skey[slots] == hq[:, None]
+        hq = _cell_hash(cell[0] + off[0], cell[1] + off[1], cell[2] + off[2])
+        start = jnp.searchsorted(skey, hq)  # (N,)
+        slots = jnp.minimum(start[None, :] + ks, n - 1)  # (K_CELL, N)
+        ok = skey[slots] == hq[None, :]
         cand_idx.append(order[slots])
         cand_ok.append(ok)
-    return jnp.concatenate(cand_idx, axis=1), jnp.concatenate(cand_ok, axis=1)
+    return jnp.concatenate(cand_idx, axis=0), jnp.concatenate(cand_ok, axis=0)
 
 
 def _select_k_nearest(pos, active, cand_idx, cand_ok, radius, rest_filter):
-    """Distance-filter candidates and keep the K_NEIGHBORS nearest."""
-    n = pos.shape[0]
-    pj = pos[cand_idx]  # (N, C, 3)
+    """Distance-filter candidates, keep K_NEIGHBORS nearest -> (K, N)."""
+    n = pos.shape[1]
+    pj = pos[:, cand_idx]  # (3, C, N)
     d = pos[:, None, :] - pj
-    dist2 = jnp.sum(d * d, axis=-1)
-    me = jnp.arange(n)[:, None]
+    dist2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]  # (C, N)
+    me = jnp.arange(n)[None, :]
     ok = (
         cand_ok
         & active[cand_idx]
-        & active[:, None]
+        & active[None, :]
         & (cand_idx != me)
         & (dist2 < radius * radius)
         & ~rest_filter
     )
-    score = jnp.where(ok, -dist2, -jnp.inf)
-    top_score, top_pos = jax.lax.top_k(score, K_NEIGHBORS)
-    nbr_idx = jnp.take_along_axis(cand_idx, top_pos, axis=1)
+    score = jnp.where(ok, -dist2, -jnp.inf)  # (C, N)
+    top_score, top_pos = jax.lax.top_k(score.T, K_NEIGHBORS)  # (N, K)
+    nbr_idx = jnp.take_along_axis(cand_idx.T, top_pos, axis=1)  # (N, K)
     nbr_mask = top_score > -jnp.inf
-    return nbr_idx, nbr_mask
+    return nbr_idx.T, nbr_mask.T  # (K, N)
 
 
 def find_neighbors_grid(pos, active, lattice_w: int, radius):
-    """Neighbor table for grid cloths in lattice-flat layout.
+    """Neighbor table for grid cloths in lattice-flat layout; pos (3, N).
 
     The SelfCollideFilter drops pairs whose *lattice* index distance is <= 1
     in both axes — exactly the pairs whose rest distance is below the
     interaction radius (spacing 0.00625 vs radius 0.01125)."""
     cand_idx, cand_ok = _gather_candidates(pos, active, radius)
-    me = jnp.arange(pos.shape[0])[:, None]
+    me = jnp.arange(pos.shape[1])[None, :]
     my_y, my_x = me // lattice_w, me % lattice_w
     cy, cx = cand_idx // lattice_w, cand_idx % lattice_w
     rest_filter = (jnp.abs(cy - my_y) <= 1) & (jnp.abs(cx - my_x) <= 1)
-    return _select_k_nearest(pos, active, cand_idx, cand_ok, radius, rest_filter)
+    return _select_k_nearest(pos, active, cand_idx, cand_ok, radius,
+                             rest_filter)
 
 
 def find_neighbors_hash(pos, active, radius, rest_positions):
-    """Neighbor table for mesh cloths; rest-pose filter by actual rest
-    distance (NvFlex.h:166)."""
+    """Neighbor table for mesh cloths; pos/rest_positions (3, N); rest-pose
+    filter by actual rest distance (NvFlex.h:166)."""
     cand_idx, cand_ok = _gather_candidates(pos, active, radius)
-    rj = rest_positions[cand_idx]
+    rj = rest_positions[:, cand_idx]  # (3, C, N)
     rd = rest_positions[:, None, :] - rj
-    rest_filter = jnp.sum(rd * rd, axis=-1) < radius * radius
-    return _select_k_nearest(pos, active, cand_idx, cand_ok, radius, rest_filter)
+    rest_filter = (rd[0] * rd[0] + rd[1] * rd[1] + rd[2] * rd[2]
+                   < radius * radius)
+    return _select_k_nearest(pos, active, cand_idx, cand_ok, radius,
+                             rest_filter)
 
 
-def solve_contacts(P, w, moving_mask, nbr_idx, nbr_mask, *, rest_dist,
-                   particle_friction=0.0, prev=None):
-    """Project particle-particle contacts from a cached neighbor table.
+def solve_contacts(P, w, moving_mask, nbr_idx, nbr_mask, *, rest_dist):
+    """Project particle-particle contacts from a cached (K, N) neighbor
+    table.  P: (3, ...) SoA (grid lattice or flat).
 
-    One-sided Jacobi: each particle pushes itself out of each neighbor by its
-    mass share; summed over both sides of a pair this yields the full
+    One-sided Jacobi: each particle pushes itself out of each neighbor by
+    its mass share; summed over both sides of a pair this yields the full
     separation.  Corrections are averaged over the live-contact count
     (local relaxation)."""
     shape = P.shape
-    Pf = P.reshape(-1, 3)
+    Pf = P.reshape(3, -1)  # (3, N)
     wf = w.reshape(-1)
     mf = moving_mask.reshape(-1)
-    ni = nbr_idx.reshape(Pf.shape[0], -1)
-    nm = nbr_mask.reshape(Pf.shape[0], -1)
 
-    Pj = Pf[ni]
-    wj = wf[ni]
+    Pj = Pf[:, nbr_idx]  # (3, K, N)
+    wj = wf[nbr_idx]  # (K, N)
     d = Pf[:, None, :] - Pj
-    dist = jnp.sqrt(jnp.sum(d * d, axis=-1) + _EPS)
+    dist = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2] + _EPS)
     pen = rest_dist - dist
-    wsum = wf[:, None] + wj
-    ok = nm & (pen > 0) & (wsum > 0)
-    s = jnp.where(ok, pen / (wsum + _EPS), 0.0)
-    delta = jnp.sum((wf[:, None] * s)[..., None] * (d / dist[..., None]), axis=1)
-    cnt = jnp.sum(ok, axis=1)
-    delta = delta / jnp.maximum(cnt, 1)[:, None]
-    Pf = jnp.where(mf[:, None], Pf + delta, Pf)
+    wsum = wf[None, :] + wj
+    ok = nbr_mask & (pen > 0) & (wsum > 0)
+    s = jnp.where(ok, pen / ((wsum + _EPS) * dist), 0.0)  # (K, N)
+    delta = jnp.sum((wf[None, None, :] * s[None]) * d, axis=1)  # (3, N)
+    cnt = jnp.sum(ok, axis=0)  # (N,)
+    delta = delta / jnp.maximum(cnt, 1)[None]
+    Pf = jnp.where(mf[None], Pf + delta, Pf)
     return Pf.reshape(shape)

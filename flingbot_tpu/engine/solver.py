@@ -10,7 +10,7 @@ contract natively for TPU:
 
 - **Grid cloths** (the training distribution) use a *stencil* spring solve:
   the six spring classes of CreateSpringGrid (helpers.h:872-925) become
-  shifted-array arithmetic over an (H, W, 3) lattice — no gathers, no
+  shifted-array arithmetic over the cloth lattice — no gathers, no
   scatters, pure VPU work, trivially vmappable over envs.  Within each class
   the constraints split into two independent sets (graph coloring), so the
   solve is Gauss-Seidel quality at Jacobi cost.
@@ -20,6 +20,12 @@ contract natively for TPU:
 - Self-collision uses a hash-grid neighbor search (sort + 27-cell lookup)
   rebuilt once per step, with the rest-pose filter of
   ``eNvFlexPhaseSelfCollideFilter`` (NvFlex.h:166).
+
+Layout: ALL hot arrays are component-leading SoA — positions as (3, H, W)
+lattices or (3, N) — so the TPU lane dimension is the particle axis
+(W or N, ~100-10k wide), never the xyz axis of size 3.  The canonical
+ClothState keeps the pyflex-compatible (N, 3) layout; transposes happen
+once per step() call, not per substep.
 
 Everything is fixed-shape and dispatches under ``jit``/``vmap``; there is no
 data-dependent Python control flow.
@@ -49,20 +55,26 @@ _EPS = 1e-9
 # --------------------------------------------------------------------------
 
 def shift2d(a: jnp.ndarray, dy: int, dx: int, fill=0.0) -> jnp.ndarray:
-    """out[y, x] = a[y + dy, x + dx], out-of-range -> fill.
+    """out[..., y, x] = a[..., y + dy, x + dx], out-of-range -> fill.
 
-    Works on arrays of shape (H, W) or (H, W, C)."""
-    H, W = a.shape[0], a.shape[1]
+    Operates on the LAST two axes; leading axes (components, batch) ride
+    along."""
+    H, W = a.shape[-2], a.shape[-1]
     pad_y = (max(-dy, 0), max(dy, 0))
     pad_x = (max(-dx, 0), max(dx, 0))
-    pads = (pad_y, pad_x) + ((0, 0),) * (a.ndim - 2)
+    pads = ((0, 0),) * (a.ndim - 2) + (pad_y, pad_x)
     ap = jnp.pad(a, pads, constant_values=fill)
     return jax.lax.dynamic_slice_in_dim(
-        jax.lax.dynamic_slice_in_dim(ap, pad_y[0] + dy, H, axis=0),
+        jax.lax.dynamic_slice_in_dim(ap, pad_y[0] + dy, H, axis=-2),
         pad_x[0] + dx,
         W,
-        axis=1,
+        axis=-1,
     )
+
+
+def _norm3(d):
+    """(3, ...) -> (...) euclidean norm (cheap leading-axis reduce)."""
+    return jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2] + _EPS)
 
 
 # --------------------------------------------------------------------------
@@ -80,26 +92,28 @@ def _lattice_indices(topo: GridTopology):
 
 
 def gather_to_lattice(x: jnp.ndarray, topo: GridTopology, fill=0.0):
-    """Canonical (N, ...) -> lattice (H, W, ...)."""
+    """Canonical (N,) -> (H, W)   or   (N, 3) -> (3, H, W)."""
     flat, valid = _lattice_indices(topo)
-    out = x[flat]
-    mask = valid.reshape(valid.shape + (1,) * (x.ndim - 1))
-    return jnp.where(mask, out, fill), valid
+    if x.ndim == 1:
+        out = x[flat]
+        return jnp.where(valid, out, fill), valid
+    out = x[flat]  # (H, W, 3)
+    out = jnp.where(valid[..., None], out, fill)
+    return jnp.moveaxis(out, -1, 0), valid  # (3, H, W)
 
 
 def scatter_from_lattice(
     lattice: jnp.ndarray, x: jnp.ndarray, topo: GridTopology
 ) -> jnp.ndarray:
-    """Lattice (H, W, ...) -> canonical (N, ...), untouched where padded."""
+    """Lattice (3, H, W) -> canonical (N, 3), untouched where padded."""
     flat, valid = _lattice_indices(topo)
     tgt = jnp.where(valid, flat, x.shape[0])  # OOB index -> dropped
-    return x.at[tgt.reshape(-1)].set(
-        lattice.reshape((-1,) + lattice.shape[2:]), mode="drop"
-    )
+    vals = jnp.moveaxis(lattice, 0, -1).reshape(-1, lattice.shape[0])
+    return x.at[tgt.reshape(-1)].set(vals, mode="drop")
 
 
 # --------------------------------------------------------------------------
-# spring solves
+# spring solves (P is SoA: (3, H, W) grid / (3, N) mesh)
 # --------------------------------------------------------------------------
 
 def _grid_phase(P, w, valid, dy, dx, color, rest, stiff, relax):
@@ -108,7 +122,7 @@ def _grid_phase(P, w, valid, dy, dx, color, rest, stiff, relax):
     Projects every constraint {(y,x), (y+dy, x+dx)} whose start parity
     matches `color`; within a phase no particle is touched twice, so the
     two endpoint updates can be applied as plain masked adds."""
-    H, W = P.shape[0], P.shape[1]
+    H, W = P.shape[-2], P.shape[-1]
     iy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     ix = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     if (dy, dx) == (0, 1):
@@ -126,14 +140,14 @@ def _grid_phase(P, w, valid, dy, dx, color, rest, stiff, relax):
     wb = shift2d(w, dy, dx)
     pair_ok = sel & valid & shift2d(valid, dy, dx, fill=False)
 
-    d = Pb - P
-    dist = jnp.sqrt(jnp.sum(d * d, axis=-1) + _EPS)
+    d = Pb - P  # (3, H, W)
+    dist = _norm3(d)
     C = dist - rest
     wsum = w + wb
-    s = jnp.where(pair_ok & (wsum > 0), relax * stiff * C / (wsum + _EPS), 0.0)
-    n = d / dist[..., None]
-    dA = (w * s)[..., None] * n
-    dB = (-(wb * s))[..., None] * n
+    s = jnp.where(pair_ok & (wsum > 0),
+                  relax * stiff * C / ((wsum + _EPS) * dist), 0.0)
+    dA = (w * s)[None] * d
+    dB = (-(wb * s))[None] * d
     return P + dA + shift2d(dB, -dy, -dx)
 
 
@@ -142,7 +156,7 @@ def _grid_jacobi(P, w, valid, topo: GridTopology, relax):
     per-particle constraint count — NvFlex's eNvFlexRelaxationLocal
     (NvFlex.h:89,152-153)."""
     acc = jnp.zeros_like(P)
-    count = jnp.zeros(P.shape[:2], P.dtype)
+    count = jnp.zeros(P.shape[-2:], P.dtype)
     for dy, dx, rest_k, cls in GRID_STENCIL_CLASSES:
         rest = rest_k * topo.spacing
         stiff = topo.stiffness[cls]
@@ -150,17 +164,17 @@ def _grid_jacobi(P, w, valid, topo: GridTopology, relax):
         wb = shift2d(w, dy, dx)
         pair_ok = valid & shift2d(valid, dy, dx, fill=False)
         d = Pb - P
-        dist = jnp.sqrt(jnp.sum(d * d, axis=-1) + _EPS)
+        dist = _norm3(d)
         C = dist - rest
         wsum = w + wb
-        s = jnp.where(pair_ok & (wsum > 0), stiff * C / (wsum + _EPS), 0.0)
-        n = d / dist[..., None]
-        dA = (w * s)[..., None] * n
-        dB = (-(wb * s))[..., None] * n
+        s = jnp.where(pair_ok & (wsum > 0),
+                      stiff * C / ((wsum + _EPS) * dist), 0.0)
+        dA = (w * s)[None] * d
+        dB = (-(wb * s))[None] * d
         acc = acc + dA + shift2d(dB, -dy, -dx)
         cnt = pair_ok.astype(P.dtype)
         count = count + cnt + shift2d(cnt, -dy, -dx)
-    return P + relax * acc / jnp.maximum(count, 1.0)[..., None]
+    return P + relax * acc / jnp.maximum(count, 1.0)[None]
 
 
 def solve_springs_grid(P, w, valid, topo: GridTopology, relax, mode: str):
@@ -175,58 +189,59 @@ def solve_springs_grid(P, w, valid, topo: GridTopology, relax, mode: str):
 
 
 def solve_springs_mesh(P, w, topo: MeshTopology, relax):
-    """Jacobi + local relaxation over padded edge arrays (shirt path)."""
+    """Jacobi + local relaxation over padded edge arrays (shirt path).
+    P: (3, N)."""
     e0, e1 = topo.edges[:, 0], topo.edges[:, 1]
-    pa, pb = P[e0], P[e1]
+    pa = P[:, e0]  # (3, E)
+    pb = P[:, e1]
     wa, wb = w[e0], w[e1]
     d = pb - pa
-    dist = jnp.sqrt(jnp.sum(d * d, axis=-1) + _EPS)
+    dist = _norm3(d)
     C = dist - topo.rest
     wsum = wa + wb
-    s = jnp.where(topo.edge_mask & (wsum > 0), topo.stiffness * C / (wsum + _EPS), 0.0)
-    n = d / dist[:, None]
-    dA = (wa * s)[:, None] * n
-    dB = (-(wb * s))[:, None] * n
-    acc = jnp.zeros_like(P).at[e0].add(dA).at[e1].add(dB)
-    return P + relax * acc / jnp.maximum(topo.degree, 1.0)[:, None]
+    s = jnp.where(topo.edge_mask & (wsum > 0),
+                  topo.stiffness * C / ((wsum + _EPS) * dist), 0.0)
+    dA = (wa * s)[None] * d
+    dB = (-(wb * s))[None] * d
+    acc = jnp.zeros_like(P).at[:, e0].add(dA).at[:, e1].add(dB)
+    return P + relax * acc / jnp.maximum(topo.degree, 1.0)[None]
 
 
 # --------------------------------------------------------------------------
-# contacts: ground plane, picker spheres
+# contacts: ground plane, picker spheres (P is (3, ...))
 # --------------------------------------------------------------------------
 
-def solve_plane(P, prev, w, params: SolverParams, moving_mask):
+def solve_plane(P, prev, params: SolverParams, moving_mask):
     """Ground plane y >= collision_distance with PBD Coulomb friction
     (NvFlexParams.dynamicFriction semantics, NvFlex.h:105; plane contact at
     collisionDistance, NvFlex.h:145)."""
-    y = P[..., 1]
+    y = P[1]
     pen = params.collision_distance - y
     contact = (pen > 0) & moving_mask
     dy = jnp.where(contact, pen, 0.0)
-    # friction on the tangential (xz) displacement accumulated this substep
-    d = P - prev
-    dx, dz = d[..., 0], d[..., 2]
-    t_norm = jnp.sqrt(dx * dx + dz * dz + _EPS)
+    dx_ = P[0] - prev[0]
+    dz_ = P[2] - prev[2]
+    t_norm = jnp.sqrt(dx_ * dx_ + dz_ * dz_ + _EPS)
     scale = jnp.minimum(
-        1.0, params.dynamic_friction * jnp.maximum(pen, 0.0) / t_norm
-    )
+        1.0, params.dynamic_friction * jnp.maximum(pen, 0.0) / t_norm)
     f = jnp.where(contact, scale, 0.0)
-    corr = jnp.stack([-dx * f, dy, -dz * f], axis=-1)
-    return P + corr
+    return jnp.stack([P[0] - dx_ * f, P[1] + dy, P[2] - dz_ * f])
 
 
-def solve_picker_spheres(P, w, picker_pos, picker_radius, params: SolverParams,
+def solve_picker_spheres(P, picker_pos, picker_radius, params: SolverParams,
                          moving_mask):
     """Push particles out of the gripper spheres.  The reference adds the
     pickers as FleX sphere shapes (flex_utils.py:83, pyflex.add_sphere)."""
     R = picker_radius + params.collision_distance
+    shape = P.shape[1:]
     delta = jnp.zeros_like(P)
     for k in range(picker_pos.shape[0]):
-        d = P - picker_pos[k]
-        dist = jnp.sqrt(jnp.sum(d * d, axis=-1) + _EPS)
+        c = picker_pos[k]
+        d = P - c.reshape((3,) + (1,) * len(shape))
+        dist = _norm3(d)
         pen = R - dist
-        push = jnp.where((pen > 0) & moving_mask, pen, 0.0)
-        delta = delta + (d / dist[..., None]) * push[..., None]
+        push = jnp.where((pen > 0) & moving_mask, pen / dist, 0.0)
+        delta = delta + d * push[None]
     return P + delta
 
 
@@ -235,16 +250,19 @@ def solve_picker_spheres(P, w, picker_pos, picker_radius, params: SolverParams,
 # --------------------------------------------------------------------------
 
 def _substep(P, V, w, moving_mask, params, dt, iterations, solve_fn, contacts):
-    """One XPBD substep: predict -> iterate constraints -> finalize."""
-    V = V + dt * params.gravity
+    """One XPBD substep: predict -> iterate constraints -> finalize.
+    P, V: (3, ...); w, moving_mask: (...)."""
+    g = params.gravity.reshape((3,) + (1,) * (P.ndim - 1))
+    mm = moving_mask[None]
+    V = V + dt * g
     V = V * jnp.maximum(0.0, 1.0 - params.damping * dt)
-    V = jnp.where(moving_mask[..., None], V, 0.0)
+    V = jnp.where(mm, V, 0.0)
     prev = P
-    P = jnp.where(moving_mask[..., None], P + dt * V, P)
+    P = jnp.where(mm, P + dt * V, P)
 
     def body(_, P):
         P = solve_fn(P)
-        P = solve_plane(P, prev, w, params, moving_mask)
+        P = solve_plane(P, prev, params, moving_mask)
         return P
 
     P = jax.lax.fori_loop(0, iterations, body, P, unroll=False)
@@ -252,11 +270,26 @@ def _substep(P, V, w, moving_mask, params, dt, iterations, solve_fn, contacts):
     if contacts is not None:
         nbr_idx, nbr_mask = contacts
         P = collisions.solve_contacts(
-            P, w, moving_mask, nbr_idx, nbr_mask, rest_dist=params.radius
-        )
-        P = solve_plane(P, prev, w, params, moving_mask)
+            P, w, moving_mask, nbr_idx, nbr_mask, rest_dist=params.radius)
+        P = solve_plane(P, prev, params, moving_mask)
     V_new = (P - prev) / dt
-    V = jnp.where(moving_mask[..., None], V_new, V)
+    V = jnp.where(mm, V_new, V)
+    return P, V
+
+
+def _run_substeps(P, V, w, moving_mask, params, substeps, iterations,
+                  solve_fn, contacts, picker_pos, picker_radius):
+    dt = params.dt / substeps
+
+    def one(carry, _):
+        P, V = carry
+        P, V = _substep(P, V, w, moving_mask, params, dt, iterations,
+                        solve_fn, contacts)
+        P = solve_picker_spheres(P, picker_pos, picker_radius, params,
+                                 moving_mask)
+        return (P, V), None
+
+    (P, V), _ = jax.lax.scan(one, (P, V), None, length=substeps)
     return P, V
 
 
@@ -280,30 +313,14 @@ def step(
             spring_mode, picker_radius,
         )
     return _step_mesh(
-        state, topo, params, substeps, iterations, self_collision, picker_radius
+        state, topo, params, substeps, iterations, self_collision,
+        picker_radius,
     )
-
-
-def _run_substeps(P, V, w, moving_mask, params, substeps, iterations,
-                  solve_fn, contacts, picker_pos, picker_radius):
-    dt = params.dt / substeps
-
-    def one(carry, _):
-        P, V = carry
-        P, V = _substep(P, V, w, moving_mask, params, dt, iterations,
-                        solve_fn, contacts)
-        P = solve_picker_spheres(P, w, picker_pos, picker_radius, params,
-                                 moving_mask)
-        return (P, V), None
-
-    (P, V), _ = jax.lax.scan(one, (P, V), None, length=substeps)
-    return P, V
 
 
 def _step_grid(state, topo, params, substeps, iterations, self_collision,
                spring_mode, picker_radius):
-    H, W = topo.max_dimy, topo.max_dimx
-    Pl, valid = gather_to_lattice(state.positions, topo)
+    Pl, valid = gather_to_lattice(state.positions, topo)  # (3, H, W)
     Vl, _ = gather_to_lattice(state.velocities, topo)
     wl, _ = gather_to_lattice(state.inv_mass, topo)
     wl = jnp.where(valid, wl, 0.0)
@@ -312,8 +329,8 @@ def _step_grid(state, topo, params, substeps, iterations, self_collision,
     contacts = None
     if self_collision:
         nbr_idx, nbr_mask = collisions.find_neighbors_grid(
-            Pl.reshape(-1, 3), moving.reshape(-1), W, params.radius
-        )
+            Pl.reshape(3, -1), moving.reshape(-1), topo.max_dimx,
+            params.radius)
         contacts = (nbr_idx, nbr_mask)
 
     solve_fn = lambda P: solve_springs_grid(
@@ -333,23 +350,25 @@ def _step_grid(state, topo, params, substeps, iterations, self_collision,
 
 def _step_mesh(state, topo, params, substeps, iterations, self_collision,
                picker_radius):
-    P, V = state.positions, state.velocities
+    P = state.positions.T  # (3, N)
+    V = state.velocities.T
     w = jnp.where(state.active, state.inv_mass, 0.0)
     moving = state.active & (w > 0)
 
     contacts = None
     if self_collision:
         nbr_idx, nbr_mask = collisions.find_neighbors_hash(
-            P, moving, params.radius, topo.rest_positions
-        )
+            P, moving, params.radius, topo.rest_positions.T)
         contacts = (nbr_idx, nbr_mask)
 
-    solve_fn = lambda Px: solve_springs_mesh(Px, w, topo, params.relaxation_factor)
+    solve_fn = lambda Px: solve_springs_mesh(Px, w, topo,
+                                             params.relaxation_factor)
     P, V = _run_substeps(
         P, V, w, moving, params, substeps, iterations, solve_fn,
         contacts, state.picker_pos, picker_radius,
     )
-    return state.replace(positions=P, velocities=V, time=state.time + params.dt)
+    return state.replace(
+        positions=P.T, velocities=V.T, time=state.time + params.dt)
 
 
 def substep(*args, **kwargs):  # pragma: no cover - thin alias

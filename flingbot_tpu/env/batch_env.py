@@ -1,0 +1,249 @@
+"""BatchSimEnv: hundreds of environments as one vmapped program.
+
+This replaces the reference's Ray actor pool + async harvest loop
+(utils.py:144-157, 394-418).  Where the reference isolates one CUDA solver
+per process and polls futures, here a batch of env states is ONE pytree with
+a leading env axis; action selection, primitive rollout, stabilization,
+reward and observation all vmap over it, and the env axis can be sharded
+over a device mesh (flingbot_tpu.parallel) so the same program scales from
+one chip to a pod slice.
+
+Async pipelining is unnecessary: primitives run in lockstep inside the
+vmapped while_loop (slow envs pad to the batch max — the trade for zero
+host round-trips), and episode resets are host-side slot writes between
+steps.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flingbot_tpu.engine.state import SolverParams
+from flingbot_tpu.env.observation import compute_observation
+from flingbot_tpu.env.primitives import PrimitiveConfig
+from flingbot_tpu.env.scene import set_scene
+from flingbot_tpu.env.sim_env import PARK_PICKERS, step_core
+from flingbot_tpu.env.coverage import get_current_covered_area
+from flingbot_tpu.engine.solver import step as solver_step
+from flingbot_tpu.learning.memory import Memory
+
+
+def _tree_stack(items):
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *items)
+
+
+def _tree_set(batch, idx: int, item):
+    return jax.tree_util.tree_map(
+        lambda b, x: b.at[idx].set(x), batch, item)
+
+
+class BatchSimEnv:
+    """A batch of grid-cloth environments stepping in lockstep on device."""
+
+    def __init__(
+        self,
+        get_task_fn: Callable,
+        num_envs: int,
+        replay_buffer_path: Optional[str] = None,
+        obs_dim: int = 64,
+        num_rotations: int = 12,
+        scale_factors: Sequence[float] = (1.0, 1.5, 2.0, 2.5),
+        action_primitives: Sequence[str] = ("fling",),
+        pix_grasp_dist: int = 8,
+        pix_drag_dist: int = 10,
+        pix_place_dist: int = 10,
+        stretchdrag_dist: float = 0.3,
+        reach_distance_limit: float = 1.2,
+        fixed_fling_height: float = -1.0,
+        conservative_grasp_radius: int = 1,
+        use_adaptive_scaling: bool = True,
+        grasp_height: float = 0.02,
+        fling_speed: float = 6e-3,
+        episode_length: int = 10,
+        render_dim: int = 400,
+        self_collision: bool = True,
+        spring_mode: str = "gs",
+        max_grid_dim: int = 104,
+        sharding=None,
+        **_unused,
+    ):
+        self.get_task_fn = get_task_fn
+        self.num_envs = num_envs
+        self.replay_buffer_path = replay_buffer_path
+        self.obs_dim = obs_dim
+        self.episode_length = episode_length
+        self.image_dim = render_dim
+        self.action_primitives = tuple(action_primitives)
+        if "fling" in self.action_primitives:
+            self.rotations = np.array(
+                [(2 * i / (num_rotations - 1) - 1) * 90
+                 for i in range(num_rotations)], np.float32)
+        else:
+            self.rotations = np.array(
+                [(2 * i / num_rotations - 1) * 180
+                 for i in range(num_rotations)], np.float32)
+        self.scale_factors = np.asarray(scale_factors, np.float32)
+        self.conservative_grasp_radius = conservative_grasp_radius
+        self.use_adaptive_scaling = use_adaptive_scaling
+        self.reach_distance_limit = reach_distance_limit
+        self.pix = dict(
+            pix_grasp_dist=pix_grasp_dist,
+            pix_drag_dist=pix_drag_dist,
+            pix_place_dist=pix_place_dist,
+        )
+        self.sim_kw = dict(
+            self_collision=self_collision, spring_mode=spring_mode)
+        self.max_grid_dim = max_grid_dim
+        self.prim_cfg = PrimitiveConfig(
+            grasp_height=grasp_height,
+            fling_speed=fling_speed,
+            fixed_fling_height=fixed_fling_height,
+            stretchdrag_dist=stretchdrag_dist,
+        )
+        self.params = SolverParams()
+        self.sharding = sharding
+
+        self.tasks = [None] * num_envs
+        self.memories = [Memory() for _ in range(num_envs)]
+        self.timesteps = np.zeros(num_envs, np.int64)
+        self.episodes_done = 0
+
+        self._vm_step = jax.jit(
+            jax.vmap(
+                functools.partial(
+                    step_core,
+                    primitives=self.action_primitives,
+                    prim_cfg=self.prim_cfg,
+                    **self.pix,
+                    **self.sim_kw,
+                ),
+                in_axes=(0, 0, None, 0, 0, None),
+            )
+        )
+        self._vm_observe = jax.jit(
+            jax.vmap(
+                functools.partial(
+                    compute_observation,
+                    image_size=self.image_dim,
+                    obs_dim=self.obs_dim,
+                    conservative_grasp_radius=self.conservative_grasp_radius,
+                    use_adaptive_scaling=self.use_adaptive_scaling,
+                    reach_distance_limit=self.reach_distance_limit,
+                ),
+                in_axes=(0, 0, None, None),
+            )
+        )
+        self._vm_settle = jax.jit(
+            jax.vmap(
+                lambda s, t: solver_step(s, t, self.params, **self.sim_kw),
+                in_axes=(0, 0),
+            )
+        )
+        self._vm_coverage = jax.jit(jax.vmap(get_current_covered_area))
+
+    # ------------------------------------------------------------------
+
+    def _load_scene(self, task):
+        scene = set_scene(task.get_config(), task.get_state(),
+                          max_grid_dim=self.max_grid_dim)
+        state = scene.state.replace(picker_pos=jnp.asarray(PARK_PICKERS))
+        return scene.topo, state
+
+    def reset(self):
+        """Load a task into every env slot and compute the first obs."""
+        topos, states = [], []
+        for i in range(self.num_envs):
+            self.tasks[i] = self.get_task_fn()
+            topo, state = self._load_scene(self.tasks[i])
+            topos.append(topo)
+            states.append(state)
+            self.memories[i] = Memory()
+            self.timesteps[i] = 0
+        self.topo = _tree_stack(topos)
+        self.state = _tree_stack(states)
+        if self.sharding is not None:
+            self.state = jax.device_put(self.state, self.sharding)
+        self.state = self._vm_settle(self.state, self.topo)
+        self._observe()
+        for i in range(self.num_envs):
+            self.memories[i].add_value(
+                "pretransform_observations", self._pretransform_obs(i))
+        return self.obs.obs_stack  # (B, T, 4, D, D)
+
+    def _observe(self):
+        self.obs = self._vm_observe(
+            self.state.positions, self.state.active,
+            jnp.asarray(self.rotations), jnp.asarray(self.scale_factors))
+
+    def _pretransform_obs(self, i):
+        rgb = np.asarray(self.obs.rgb[i])
+        d = np.asarray(self.obs.depth[i])
+        return np.concatenate(
+            [np.transpose(rgb, (2, 0, 1)), d[None]], axis=0).astype(np.float32)
+
+    def step(self, value_maps):
+        """value_maps (B, P, T, D, D) -> next obs stack (B, T, 4, D, D).
+
+        Device: one vmapped step.  Host: replay logging + per-env resets."""
+        vm = jnp.asarray(value_maps)
+        prev_obs_stack = np.asarray(self.obs.obs_stack)
+        new_state, sel, pre_cov, post_cov, terminate = self._vm_step(
+            self.state, self.topo, self.params, vm, self.obs,
+            jnp.asarray(self.rotations))
+        self.state = new_state
+        self._observe()
+
+        pre_cov = np.asarray(pre_cov)
+        post_cov = np.asarray(post_cov)
+        terminate = np.asarray(terminate)
+
+        reload_idx = []
+        for i in range(self.num_envs):
+            mem = self.memories[i]
+            t = int(sel.transform_idx[i])
+            prim = self.action_primitives[int(sel.prim_idx[i])]
+            mem.add_observation(prev_obs_stack[i, t])
+            mem.add_action(np.asarray(sel.action_mask[i]))
+            mem.add_value("preaction_coverage", float(pre_cov[i]))
+            mem.add_value("postaction_coverage", float(post_cov[i]))
+            mem.add_value("rotation", float(sel.rotation[i]))
+            mem.add_value("scale", float(sel.scale[i]))
+            mem.add_value("action_primitive", prim)
+            mem.add_value("max_indices", np.asarray(
+                [t, int(sel.row[i]), int(sel.col[i])]))
+            for key, value in self.tasks[i].get_stats().items():
+                mem.add_value(key, value)
+            self.timesteps[i] += 1
+            done = bool(terminate[i]) or (
+                self.timesteps[i] >= self.episode_length)
+            mem.add_rewards_and_termination(
+                float(post_cov[i] - pre_cov[i]), done)
+            mem.add_value("next_observations", self._pretransform_obs(i))
+            if done:
+                if self.replay_buffer_path is not None and len(mem):
+                    mem.dump(self.replay_buffer_path)
+                self.episodes_done += 1
+                reload_idx.append(i)
+            else:
+                mem.add_value(
+                    "pretransform_observations", self._pretransform_obs(i))
+
+        if reload_idx:
+            for i in reload_idx:
+                self.tasks[i] = self.get_task_fn()
+                topo, state = self._load_scene(self.tasks[i])
+                self.topo = _tree_set(self.topo, i, topo)
+                self.state = _tree_set(self.state, i, state)
+                self.memories[i] = Memory()
+                self.timesteps[i] = 0
+            self._observe()
+            for i in reload_idx:
+                self.memories[i].add_value(
+                    "pretransform_observations", self._pretransform_obs(i))
+
+        return self.obs.obs_stack

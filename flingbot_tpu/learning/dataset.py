@@ -1,0 +1,136 @@
+"""Replay dataset: reads flingbot-format replay HDF5 into training batches.
+
+GraspDataset parity (reference: learning/utils.py:12-100): reward =
+(postaction - preaction) coverage, normalized by the task's max coverage (or
+min-max normalized with the recorded constants), obs optionally reduced to
+RGB or depth, RGB optionally color-jittered (the stand-in for Blender domain
+randomization), plus the self-healing validity check that deletes malformed
+groups (learning/utils.py:58-71).
+
+Torch-free: batches are numpy arrays ready for device upload; sampling is
+a host-side RNG choice (the DataLoader worker pool becomes simple prefetch).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import h5py
+import numpy as np
+
+REWARDS_MAX = 0.20572495126190674
+REWARDS_MIN = -0.11034914070874759
+
+
+def color_jitter(rng: np.random.Generator, rgb: np.ndarray,
+                 brightness=0.2, contrast=0.3, saturation=0.5,
+                 hue=0.5) -> np.ndarray:
+    """Cheap HSV-free approximation of torchvision ColorJitter
+    (learning/utils.py:28-34) on a (3, H, W) float image in [0, 1]."""
+    out = rgb
+    b = 1.0 + rng.uniform(-brightness, brightness)
+    out = out * b
+    c = 1.0 + rng.uniform(-contrast, contrast)
+    mean = out.mean()
+    out = (out - mean) * c + mean
+    s = 1.0 + rng.uniform(-saturation, saturation)
+    gray = out.mean(axis=0, keepdims=True)
+    out = (out - gray) * s + gray
+    # hue: rotate channels toward a random permutation blend
+    h = rng.uniform(0, hue)
+    rolled = np.roll(out, 1, axis=0)
+    out = (1 - h) * out + h * rolled
+    return np.clip(out, 0.0, 1.0).astype(np.float32)
+
+
+class GraspDataset:
+    def __init__(
+        self,
+        hdf5_path: str,
+        depth_only: bool = False,
+        rgb_only: bool = False,
+        check_validity: bool = False,
+        filter_fn: Optional[Callable] = None,
+        obs_color_jitter: bool = True,
+        use_normalized_coverage: bool = True,
+        seed: int = 0,
+        **_unused,
+    ):
+        assert not (depth_only and rgb_only)
+        self.hdf5_path = hdf5_path
+        self.filter_fn = filter_fn
+        self.depth_only = depth_only
+        self.rgb_only = rgb_only
+        self.obs_color_jitter = obs_color_jitter
+        self.use_normalized_coverage = use_normalized_coverage
+        self.rng = np.random.default_rng(seed)
+        self.keys = self._get_keys()
+        if check_validity:
+            for k in list(self.keys):
+                self._check_validity(k)
+            self.keys = self._get_keys()
+
+    def _get_keys(self):
+        with h5py.File(self.hdf5_path, "r") as f:
+            keys = []
+            for k in f:
+                try:
+                    group = f[k]
+                    if self.filter_fn is None or self.filter_fn(group):
+                        keys.append(k)
+                except Exception:
+                    pass
+            return keys
+
+    def _check_validity(self, key):
+        """Delete malformed groups (learning/utils.py:58-71)."""
+        with h5py.File(self.hdf5_path, "a") as f:
+            g = f.get(key)
+            if g is None:
+                return
+            bad = (
+                "actions" not in g
+                or "observations" not in g
+                or "postaction_coverage" not in g.attrs
+                or "preaction_coverage" not in g.attrs
+            )
+            if not bad:
+                a = np.asarray(g["actions"])
+                bad = a.sum() != 1 or np.asarray(g["observations"]).ndim == 4
+            if bad:
+                del f[key]
+
+    def __len__(self):
+        return len(self.keys)
+
+    def __getitem__(self, index: int):
+        with h5py.File(self.hdf5_path, "r") as f:
+            g = f[self.keys[index]]
+            reward = float(
+                g.attrs["postaction_coverage"] - g.attrs["preaction_coverage"])
+            if self.use_normalized_coverage:
+                reward /= float(g.attrs["max_coverage"])
+            else:
+                reward = (reward - REWARDS_MIN) / (REWARDS_MAX - REWARDS_MIN)
+            obs = np.asarray(g["observations"], np.float32)
+            action = np.asarray(g["actions"]).astype(bool)
+        if self.rgb_only:
+            rgb = obs[:3]
+            if self.obs_color_jitter:
+                rgb = color_jitter(self.rng, rgb)
+            obs = np.concatenate([rgb, obs[3:4]], axis=0)
+        elif self.depth_only:
+            pass  # the net slices channel 3 itself
+        return obs, action, np.float32(reward)
+
+    def sample_batch(self, batch_size: int):
+        """Uniform random batch -> (obs (B,4,D,D), mask (B,D,D), r (B,))."""
+        if len(self) == 0:
+            return None
+        idx = self.rng.integers(0, len(self), batch_size)
+        obs, masks, rewards = zip(*(self[int(i)] for i in idx))
+        return (
+            np.stack(obs),
+            np.stack(masks).astype(np.float32),
+            np.asarray(rewards, np.float32),
+        )

@@ -214,6 +214,29 @@ class MaximumValuePolicy:
     def act(self, obs_stacks: List) -> List[Dict[str, jnp.ndarray]]:
         return [self.value_maps(o) for o in obs_stacks]
 
+    def batch_value_maps(self, obs: jnp.ndarray) -> jnp.ndarray:
+        """(B, T, 4, D, D) -> (B, P, T, D, D) for BatchSimEnv: the whole
+        env batch runs through each net as one flattened conv batch."""
+        B, T = obs.shape[0], obs.shape[1]
+        flat = obs.reshape((B * T,) + obs.shape[2:])
+        maps = []
+        for key in self.action_primitives:
+            ns = self.nets[key]
+            vm = value_map_inference(ns.net, ns.params, ns.batch_stats, flat)
+            maps.append(vm.reshape(B, T, self.obs_dim, self.obs_dim))
+        out = jnp.stack(maps, axis=1)  # (B, P, T, D, D)
+        # exploration (per whole batch step, cheaper than per env)
+        if np.random.random() < self.value_expl_prob:
+            out = jax.random.uniform(self._next_rng(), out.shape)
+        if len(self.action_primitives) > 1 and (
+                np.random.random() < self.action_expl_prob):
+            p = np.random.randint(len(self.action_primitives))
+            min_val = out.min()
+            keep = out[:, p:p + 1]
+            out = jnp.full_like(out, min_val)
+            out = out.at[:, p:p + 1].set(keep)
+        return out
+
     # -- checkpointing ------------------------------------------------------
 
     def state_dict(self) -> Dict[str, Any]:

@@ -1,0 +1,84 @@
+"""Flag system — the same ~30 training/eval/env flags as the reference
+config_parser (reference: utils.py:17-88), plus TPU-native additions
+(num_envs, spring_mode, self_collision, mesh axis size).
+"""
+
+from __future__ import annotations
+
+import random
+from argparse import ArgumentParser
+
+import numpy as np
+
+
+def config_parser(parser: ArgumentParser = None) -> ArgumentParser:
+    if parser is None:
+        parser = ArgumentParser("Dynamic Cloth Manipulation (TPU)")
+    parser.add_argument("--log", type=str, default="runs/default")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--load", type=str, default=None,
+                        help="path of policy checkpoint to load")
+    parser.add_argument("--num_envs", type=int, default=16,
+                        help="vmapped envs per step (replaces num_processes)")
+    parser.add_argument("--num_processes", type=int, default=None,
+                        help="alias of --num_envs (reference flag name)")
+    parser.add_argument("--tasks", type=str, default="tasks.hdf5",
+                        help="path to task HDF5 dataset")
+    parser.add_argument("--eval", action="store_true", default=False)
+    parser.add_argument("--dump_visualizations", action="store_true",
+                        default=False)
+
+    # Optimization
+    parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--batch_size", type=int, default=128)
+    parser.add_argument("--weight_decay", type=float, default=1e-6)
+    # Algorithm
+    parser.add_argument("--batches_per_update", type=int, default=1)
+    parser.add_argument("--update_frequency", type=int, default=1)
+    parser.add_argument("--warmup", type=int, default=128)
+    parser.add_argument("--save_ckpt", type=int, default=512)
+    parser.add_argument("--dataset_path", type=str, default=None)
+    parser.add_argument("--action_expl_prob", type=float, default=0.0)
+    parser.add_argument("--action_expl_decay", type=float, default=0.9995)
+    parser.add_argument("--value_expl_prob", type=float, default=0.0)
+    parser.add_argument("--value_expl_decay", type=float, default=0.995)
+    parser.add_argument("--obs_color_jitter", action="store_true",
+                        default=True)
+    parser.add_argument("--fixed_fling_height", type=float, default=-1)
+    # Network
+    parser.add_argument("--depth_only", action="store_true", default=False)
+    parser.add_argument("--rgb_only", action="store_true", default=True)
+    parser.add_argument("--use_adaptive_scaling", action="store_true",
+                        default=True)
+    parser.add_argument("--use_normalized_coverage", action="store_true",
+                        default=True)
+    parser.add_argument("--conservative_grasp_radius", type=int, default=1)
+    parser.add_argument("--action_primitives", nargs="+",
+                        choices=["fling", "stretchdrag", "drag", "place"],
+                        default=["fling"])
+    parser.add_argument("--obs_dim", type=int, default=64)
+    parser.add_argument("--pix_grasp_dist", type=int, default=8)
+    parser.add_argument("--pix_drag_dist", type=int, default=10)
+    parser.add_argument("--pix_place_dist", type=int, default=10)
+    parser.add_argument("--stretchdrag_dist", type=float, default=0.3)
+    parser.add_argument("--reach_distance_limit", type=float, default=1.2)
+    parser.add_argument("--num_rotations", type=int, default=12)
+    parser.add_argument("--scale_factors", nargs="+", type=float,
+                        default=[1.0, 1.25, 1.5, 1.75, 2.0, 2.25, 2.5, 2.75])
+    parser.add_argument("--render_dim", type=int, default=400)
+    parser.add_argument("--episode_length", type=int, default=10)
+    # TPU-native physics/runtime knobs
+    parser.add_argument("--spring_mode", choices=["gs", "jacobi"],
+                        default="gs")
+    parser.add_argument("--no_self_collision", action="store_true",
+                        default=False)
+    parser.add_argument("--max_grid_dim", type=int, default=104)
+    parser.add_argument("--dp_devices", type=int, default=None,
+                        help="devices on the dp mesh axis (default: all)")
+    return parser
+
+
+def seed_all(seed: int):
+    print(f"SEEDING WITH {seed}")
+    random.seed(seed)
+    np.random.seed(seed)

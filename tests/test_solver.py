@@ -62,12 +62,14 @@ class TestShift2d:
         ref[:, 2:] = np.asarray(a)[:, :-2]
         np.testing.assert_allclose(out, ref)
 
-    def test_3d_channels(self):
+    def test_leading_component_axis(self):
+        # shift acts on the LAST two axes; leading (component) axes ride
         a = jnp.arange(24.0).reshape(2, 3, 4)
-        out = shift2d(a, 1, 1)
+        out = shift2d(a, 1, 0)
         assert out.shape == (2, 3, 4)
-        np.testing.assert_allclose(out[0, :2], np.asarray(a)[1, 1:])
-        np.testing.assert_allclose(out[1], 0.0)
+        ref = np.zeros((2, 3, 4))
+        ref[:, :2] = np.asarray(a)[:, 1:]
+        np.testing.assert_allclose(out, ref)
 
 
 class TestFreeFall:
