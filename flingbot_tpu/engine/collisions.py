@@ -135,3 +135,106 @@ def solve_contacts(P, w, moving_mask, nbr_idx, nbr_mask, *, rest_dist):
     delta = delta / jnp.maximum(cnt, 1)[None]
     Pf = jnp.where(mf[None], Pf + delta, Pf)
     return Pf.reshape(shape)
+
+
+# --------------------------------------------------------------------------
+# Morton-sorted sweep contacts (the TPU fast path)
+# --------------------------------------------------------------------------
+#
+# The hash-grid + gather path above is exact but gather-bound on TPU (the
+# candidate gathers dominate the whole solver).  The production path instead
+# sorts particles along a 3D Morton curve once per step; spatially-near
+# particles land near each other in sorted order, so contact candidates are
+# just +-WINDOW neighbors in the sorted array — pure jnp.roll + elementwise
+# compare, zero gathers in the per-substep loop.  Missed boundary pairs are
+# caught on later steps as the curve re-sorts (PBD contact projection is
+# self-correcting), matching FleX's own bounded-neighbor behavior
+# (maxNeighborsPerParticle, main.cpp:826).
+
+SWEEP_WINDOW = 10
+
+
+def _part1by2(x):
+    x = x & 0x3FF
+    x = (x | (x << 16)) & 0x30000FF
+    x = (x | (x << 8)) & 0x300F00F
+    x = (x | (x << 4)) & 0x30C30C3
+    x = (x | (x << 2)) & 0x9249249
+    return x
+
+
+def morton_code(cell):
+    """cell (3, N) int32 in [0, 1024) -> (N,) int32 Morton codes."""
+    return (
+        _part1by2(cell[0])
+        | (_part1by2(cell[1]) << 1)
+        | (_part1by2(cell[2]) << 2)
+    )
+
+
+def sweep_order(pos, active, cell_size):
+    """Build the per-step sorted ordering.  pos (3, N).
+    Returns (perm (N,), inv_perm (N,))."""
+    n = pos.shape[1]
+    cell = jnp.clip(
+        jnp.floor(pos / cell_size).astype(jnp.int32) + 512, 0, 1023)
+    code = morton_code(cell)
+    key = jnp.where(active, code, jnp.int32(2 ** 30))  # inactive to the end
+    perm = jnp.argsort(key)
+    inv_perm = jnp.zeros(n, jnp.int32).at[perm].set(
+        jnp.arange(n, dtype=jnp.int32))
+    return perm, inv_perm
+
+
+def solve_contacts_sweep(
+    P, w, moving_mask, perm, inv_perm, *, rest_dist,
+    window: int = SWEEP_WINDOW, lattice_w=None, rest_sorted=None,
+    active=None,
+):
+    """Contact projection in Morton-sorted space.  P (3, ...) SoA.
+
+    rest-pose filtering: for grid cloths pass lattice_w (skip pairs with
+    lattice index distance <= 1 in both axes); for meshes pass rest_sorted
+    (3, N) = rest positions already permuted by `perm`."""
+    shape = P.shape
+    Pf = P.reshape(3, -1)
+    wf = w.reshape(-1)
+    mf = moving_mask.reshape(-1)
+    n = Pf.shape[1]
+
+    Ps = Pf[:, perm]
+    ws = wf[perm]
+    ids = perm  # original index of each sorted slot
+    act_s = (mf if active is None else active.reshape(-1))[perm]
+    idx = jnp.arange(n)
+
+    delta = jnp.zeros_like(Ps)
+    count = jnp.zeros(n, Ps.dtype)
+    for k in list(range(1, window + 1)) + list(range(-window, 0)):
+        Pn = jnp.roll(Ps, -k, axis=1)
+        wn = jnp.roll(ws, -k)
+        idn = jnp.roll(ids, -k)
+        an = jnp.roll(act_s, -k)
+        inrange = (idx + k >= 0) & (idx + k < n)
+        d = Ps - Pn
+        dist = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2] + _EPS)
+        pen = rest_dist - dist
+        wsum = ws + wn
+        ok = inrange & act_s & an & (pen > 0) & (wsum > 0)
+        if lattice_w is not None:
+            my_y, my_x = ids // lattice_w, ids % lattice_w
+            ny, nx = idn // lattice_w, idn % lattice_w
+            ok = ok & ~((jnp.abs(ny - my_y) <= 1) & (jnp.abs(nx - my_x) <= 1))
+        if rest_sorted is not None:
+            rn = jnp.roll(rest_sorted, -k, axis=1)
+            rd = rest_sorted - rn
+            rest2 = rd[0] * rd[0] + rd[1] * rd[1] + rd[2] * rd[2]
+            ok = ok & (rest2 >= rest_dist * rest_dist)
+        s = jnp.where(ok, pen / ((wsum + _EPS) * dist), 0.0)
+        delta = delta + (ws * s)[None] * d
+        count = count + ok
+    delta = delta / jnp.maximum(count, 1.0)[None]
+    # back to original order (one gather) and apply
+    delta_orig = delta[:, inv_perm]
+    Pf = jnp.where(mf[None], Pf + delta_orig, Pf)
+    return Pf.reshape(shape)

@@ -249,7 +249,8 @@ def solve_picker_spheres(P, picker_pos, picker_radius, params: SolverParams,
 # the step
 # --------------------------------------------------------------------------
 
-def _substep(P, V, w, moving_mask, params, dt, iterations, solve_fn, contacts):
+def _substep(P, V, w, moving_mask, params, dt, iterations, solve_fn,
+             contact_fn):
     """One XPBD substep: predict -> iterate constraints -> finalize.
     P, V: (3, ...); w, moving_mask: (...)."""
     g = params.gravity.reshape((3,) + (1,) * (P.ndim - 1))
@@ -266,11 +267,9 @@ def _substep(P, V, w, moving_mask, params, dt, iterations, solve_fn, contacts):
         return P
 
     P = jax.lax.fori_loop(0, iterations, body, P, unroll=False)
-    # contacts once per substep from the cached per-step neighbor table
-    if contacts is not None:
-        nbr_idx, nbr_mask = contacts
-        P = collisions.solve_contacts(
-            P, w, moving_mask, nbr_idx, nbr_mask, rest_dist=params.radius)
+    # contacts once per substep from the per-step neighbor structure
+    if contact_fn is not None:
+        P = contact_fn(P)
         P = solve_plane(P, prev, params, moving_mask)
     V_new = (P - prev) / dt
     V = jnp.where(mm, V_new, V)
@@ -278,13 +277,13 @@ def _substep(P, V, w, moving_mask, params, dt, iterations, solve_fn, contacts):
 
 
 def _run_substeps(P, V, w, moving_mask, params, substeps, iterations,
-                  solve_fn, contacts, picker_pos, picker_radius):
+                  solve_fn, contact_fn, picker_pos, picker_radius):
     dt = params.dt / substeps
 
     def one(carry, _):
         P, V = carry
         P, V = _substep(P, V, w, moving_mask, params, dt, iterations,
-                        solve_fn, contacts)
+                        solve_fn, contact_fn)
         P = solve_picker_spheres(P, picker_pos, picker_radius, params,
                                  moving_mask)
         return (P, V), None
@@ -302,43 +301,56 @@ def step(
     iterations: int = 30,
     self_collision: bool = True,
     spring_mode: str = "gs",
+    contact_mode: str = "sweep",
     picker_radius: float = 0.02,
 ) -> ClothState:
     """Advance the world by one frame: dt split into `substeps` XPBD substeps
     of `iterations` constraint projections each — the TPU analog of
-    NvFlexUpdateSolver(g_dt, g_numSubsteps) (main.cpp:2273)."""
+    NvFlexUpdateSolver(g_dt, g_numSubsteps) (main.cpp:2273).
+
+    contact_mode: 'sweep' (Morton-sorted roll-compare, the TPU fast path)
+    or 'table' (exact hash-grid neighbor table — gather-bound, for
+    verification)."""
     if isinstance(topo, GridTopology):
         return _step_grid(
             state, topo, params, substeps, iterations, self_collision,
-            spring_mode, picker_radius,
+            spring_mode, contact_mode, picker_radius,
         )
     return _step_mesh(
         state, topo, params, substeps, iterations, self_collision,
-        picker_radius,
+        contact_mode, picker_radius,
     )
 
 
 def _step_grid(state, topo, params, substeps, iterations, self_collision,
-               spring_mode, picker_radius):
+               spring_mode, contact_mode, picker_radius):
     Pl, valid = gather_to_lattice(state.positions, topo)  # (3, H, W)
     Vl, _ = gather_to_lattice(state.velocities, topo)
     wl, _ = gather_to_lattice(state.inv_mass, topo)
     wl = jnp.where(valid, wl, 0.0)
     moving = valid & (wl > 0)
 
-    contacts = None
+    contact_fn = None
     if self_collision:
-        nbr_idx, nbr_mask = collisions.find_neighbors_grid(
-            Pl.reshape(3, -1), moving.reshape(-1), topo.max_dimx,
-            params.radius)
-        contacts = (nbr_idx, nbr_mask)
+        flat_moving = moving.reshape(-1)
+        if contact_mode == "sweep":
+            perm, inv_perm = collisions.sweep_order(
+                Pl.reshape(3, -1), flat_moving, params.radius)
+            contact_fn = lambda P: collisions.solve_contacts_sweep(
+                P, wl, moving, perm, inv_perm, rest_dist=params.radius,
+                lattice_w=topo.max_dimx)
+        else:
+            nbr_idx, nbr_mask = collisions.find_neighbors_grid(
+                Pl.reshape(3, -1), flat_moving, topo.max_dimx, params.radius)
+            contact_fn = lambda P: collisions.solve_contacts(
+                P, wl, moving, nbr_idx, nbr_mask, rest_dist=params.radius)
 
     solve_fn = lambda P: solve_springs_grid(
         P, wl, valid, topo, params.relaxation_factor, spring_mode
     )
     Pl, Vl = _run_substeps(
         Pl, Vl, wl, moving, params, substeps, iterations, solve_fn,
-        contacts, state.picker_pos, picker_radius,
+        contact_fn, state.picker_pos, picker_radius,
     )
 
     positions = scatter_from_lattice(Pl, state.positions, topo)
@@ -349,23 +361,31 @@ def _step_grid(state, topo, params, substeps, iterations, self_collision,
 
 
 def _step_mesh(state, topo, params, substeps, iterations, self_collision,
-               picker_radius):
+               contact_mode, picker_radius):
     P = state.positions.T  # (3, N)
     V = state.velocities.T
     w = jnp.where(state.active, state.inv_mass, 0.0)
     moving = state.active & (w > 0)
 
-    contacts = None
+    contact_fn = None
     if self_collision:
-        nbr_idx, nbr_mask = collisions.find_neighbors_hash(
-            P, moving, params.radius, topo.rest_positions.T)
-        contacts = (nbr_idx, nbr_mask)
+        if contact_mode == "sweep":
+            perm, inv_perm = collisions.sweep_order(P, moving, params.radius)
+            rest_sorted = topo.rest_positions.T[:, perm]
+            contact_fn = lambda Px: collisions.solve_contacts_sweep(
+                Px, w, moving, perm, inv_perm, rest_dist=params.radius,
+                rest_sorted=rest_sorted)
+        else:
+            nbr_idx, nbr_mask = collisions.find_neighbors_hash(
+                P, moving, params.radius, topo.rest_positions.T)
+            contact_fn = lambda Px: collisions.solve_contacts(
+                Px, w, moving, nbr_idx, nbr_mask, rest_dist=params.radius)
 
     solve_fn = lambda Px: solve_springs_mesh(Px, w, topo,
                                              params.relaxation_factor)
     P, V = _run_substeps(
         P, V, w, moving, params, substeps, iterations, solve_fn,
-        contacts, state.picker_pos, picker_radius,
+        contact_fn, state.picker_pos, picker_radius,
     )
     return state.replace(
         positions=P.T, velocities=V.T, time=state.time + params.dt)
