@@ -13,13 +13,18 @@ generously assumed at 125 sim-steps/s each => 2,000 env-steps/s/GPU.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
-
 from __future__ import annotations
 
 import json
 import time
 
 import numpy as np
+
+import jax as _jax
+
+_jax.config.update("jax_compilation_cache_dir", "/root/jaxcache")
+_jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 BASELINE_ENV_STEPS_PER_SEC = 2000.0
 

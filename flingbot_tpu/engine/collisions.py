@@ -187,11 +187,19 @@ def sweep_order(pos, active, cell_size):
 
 
 def solve_contacts_sweep(
-    P, w, moving_mask, perm, inv_perm, *, rest_dist,
-    window: int = SWEEP_WINDOW, lattice_w=None, rest_sorted=None,
-    active=None,
+    P, w, moving_mask, perm, inv_perm, params, *, rest_dist,
+    window: int = SWEEP_WINDOW, iterations: int = 8,
+    lattice_w=None, rest_sorted=None, active=None, prev=None,
 ):
-    """Contact projection in Morton-sorted space.  P (3, ...) SoA.
+    """Iterated contact projection in Morton-sorted space.  P (3, ...) SoA.
+
+    The permutation gathers are hoisted: positions are gathered into sorted
+    order ONCE, then `iterations` Jacobi passes of +-window roll-compare
+    contact projection (with PBD Coulomb particle friction,
+    NvFlexParams.particleFriction semantics, NvFlex.h:107) plus the ground
+    plane run entirely in sorted space, then ONE gather back.  This mirrors
+    FleX solving contacts inside its iteration loop rather than once per
+    substep (solveContacts stage, NvFlex.h:197-223).
 
     rest-pose filtering: for grid cloths pass lattice_w (skip pairs with
     lattice index distance <= 1 in both axes); for meshes pass rest_sorted
@@ -202,26 +210,22 @@ def solve_contacts_sweep(
     mf = moving_mask.reshape(-1)
     n = Pf.shape[1]
 
-    Ps = Pf[:, perm]
     ws = wf[perm]
     ids = perm  # original index of each sorted slot
     act_s = (mf if active is None else active.reshape(-1))[perm]
+    ms = mf[perm]
     idx = jnp.arange(n)
+    mu_p = params.particle_friction * params.dynamic_friction
 
-    delta = jnp.zeros_like(Ps)
-    count = jnp.zeros(n, Ps.dtype)
+    Ps0 = Pf[:, perm]
+    prev_s = (prev.reshape(3, -1)[:, perm]) if prev is not None else Ps0
+
+    # static pair masks per k (independent of positions)
+    pair_static = []
     for k in list(range(1, window + 1)) + list(range(-window, 0)):
-        Pn = jnp.roll(Ps, -k, axis=1)
-        wn = jnp.roll(ws, -k)
-        idn = jnp.roll(ids, -k)
-        an = jnp.roll(act_s, -k)
-        inrange = (idx + k >= 0) & (idx + k < n)
-        d = Ps - Pn
-        dist = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2] + _EPS)
-        pen = rest_dist - dist
-        wsum = ws + wn
-        ok = inrange & act_s & an & (pen > 0) & (wsum > 0)
+        ok = (idx + k >= 0) & (idx + k < n) & act_s & jnp.roll(act_s, -k)
         if lattice_w is not None:
+            idn = jnp.roll(ids, -k)
             my_y, my_x = ids // lattice_w, ids % lattice_w
             ny, nx = idn // lattice_w, idn % lattice_w
             ok = ok & ~((jnp.abs(ny - my_y) <= 1) & (jnp.abs(nx - my_x) <= 1))
@@ -230,11 +234,50 @@ def solve_contacts_sweep(
             rd = rest_sorted - rn
             rest2 = rd[0] * rd[0] + rd[1] * rd[1] + rd[2] * rd[2]
             ok = ok & (rest2 >= rest_dist * rest_dist)
-        s = jnp.where(ok, pen / ((wsum + _EPS) * dist), 0.0)
-        delta = delta + (ws * s)[None] * d
-        count = count + ok
-    delta = delta / jnp.maximum(count, 1.0)[None]
-    # back to original order (one gather) and apply
-    delta_orig = delta[:, inv_perm]
-    Pf = jnp.where(mf[None], Pf + delta_orig, Pf)
+        pair_static.append(ok)
+
+    def one_iter(_, Ps):
+        delta = jnp.zeros_like(Ps)
+        count = jnp.zeros(n, Ps.dtype)
+        Ds = Ps - prev_s
+        for i, k in enumerate(list(range(1, window + 1))
+                              + list(range(-window, 0))):
+            Pn = jnp.roll(Ps, -k, axis=1)
+            wn = jnp.roll(ws, -k)
+            d = Ps - Pn
+            dist = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2] + _EPS)
+            pen = rest_dist - dist
+            wsum = ws + wn
+            ok = pair_static[i] & (pen > 0) & (wsum > 0)
+            s = jnp.where(ok, pen / ((wsum + _EPS) * dist), 0.0)
+            delta = delta + (ws * s)[None] * d
+            count = count + ok
+            # particle Coulomb friction on the pair's tangential motion
+            rel = Ds - jnp.roll(Ds, -k, axis=1)
+            nhat = d / dist[None]
+            rel_n = rel[0] * nhat[0] + rel[1] * nhat[1] + rel[2] * nhat[2]
+            t0 = rel[0] - rel_n * nhat[0]
+            t1 = rel[1] - rel_n * nhat[1]
+            t2 = rel[2] - rel_n * nhat[2]
+            t_norm = jnp.sqrt(t0 * t0 + t1 * t1 + t2 * t2 + _EPS)
+            fr = jnp.minimum(1.0, mu_p * pen / t_norm)
+            fscale = jnp.where(ok, (ws / (wsum + _EPS)) * fr, 0.0)
+            delta = delta - fscale[None] * jnp.stack([t0, t1, t2])
+        Ps = Ps + jnp.where(
+            ms[None], delta / jnp.maximum(count, 1.0)[None], 0.0)
+        # ground plane (same math as solver.solve_plane, in sorted space)
+        y = Ps[1]
+        pen = params.collision_distance - y
+        contact = (pen > 0) & ms
+        dy_ = jnp.where(contact, pen, 0.0)
+        dx_ = Ps[0] - prev_s[0]
+        dz_ = Ps[2] - prev_s[2]
+        t_norm = jnp.sqrt(dx_ * dx_ + dz_ * dz_ + _EPS)
+        scale = jnp.minimum(
+            1.0, params.dynamic_friction * jnp.maximum(pen, 0.0) / t_norm)
+        f = jnp.where(contact, scale, 0.0)
+        return jnp.stack([Ps[0] - dx_ * f, Ps[1] + dy_, Ps[2] - dz_ * f])
+
+    Ps = jax.lax.fori_loop(0, iterations, one_iter, Ps0)
+    Pf = jnp.where(mf[None], Ps[:, inv_perm], Pf)
     return Pf.reshape(shape)

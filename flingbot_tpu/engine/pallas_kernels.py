@@ -1,0 +1,196 @@
+"""Pallas TPU kernels for the XPBD hot loop.
+
+The XLA path in solver.py materializes the lattice between constraint
+phases; this kernel keeps one environment's whole substep — integrate,
+`iterations` x (6 stencil spring classes x 2 GS colors + ground plane with
+Coulomb friction), velocity finalize — resident in VMEM, reading and
+writing HBM exactly once per substep.  Per-env state is ~350 KB, far under
+the ~16 MB VMEM budget; the pallas grid runs one program per environment.
+
+Everything numeric matches solver.py's stencil formulation (see
+solve_springs_grid / solve_plane there for the NvFlex parameter semantics
+and reference citations); tests cross-check the two paths bit-for-bit-ish
+(float tolerance).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flingbot_tpu.engine.topology import GRID_STENCIL_CLASSES
+
+_EPS = 1e-9
+
+# packed scalar-param vector layout (per env)
+# [0]=dt  [1]=gravity_y [2]=damping [3]=dynamic_friction
+# [4]=collision_distance [5]=relaxation [6]=spacing
+# [7]=stiff_stretch [8]=stiff_bend [9]=stiff_shear
+# [10]=dimx [11]=dimy
+PARAM_LEN = 12
+
+
+def _shift(a, dy, dx, fill=0.0):
+    """Static shift on the last two axes of a (3, H, W) or (H, W) value
+    using pad+slice (Mosaic-friendly, no wraparound)."""
+    H, W = a.shape[-2], a.shape[-1]
+    pad_y = (max(-dy, 0), max(dy, 0))
+    pad_x = (max(-dx, 0), max(dx, 0))
+    pads = ((0, 0),) * (a.ndim - 2) + (pad_y, pad_x)
+    ap = jnp.pad(a, pads, constant_values=fill)
+    idx = (slice(None),) * (a.ndim - 2) + (
+        slice(pad_y[0] + dy, pad_y[0] + dy + H),
+        slice(pad_x[0] + dx, pad_x[0] + dx + W),
+    )
+    return ap[idx]
+
+
+def _substep_kernel(param_ref, P_ref, V_ref, w_ref, out_P_ref, out_V_ref,
+                    *, H, W, iterations):
+    dt = param_ref[0, 0]
+    gravity_y = param_ref[0, 1]
+    damping = param_ref[0, 2]
+    mu = param_ref[0, 3]
+    coldist = param_ref[0, 4]
+    relax = param_ref[0, 5]
+    spacing = param_ref[0, 6]
+    stiffness = [param_ref[0, 7], param_ref[0, 8], param_ref[0, 9]]
+    dimx = param_ref[0, 10]
+    dimy = param_ref[0, 11]
+
+    P = P_ref[0]  # (3, H, W)
+    V = V_ref[0]
+    w = w_ref[0]  # (H, W)
+
+    iy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    ix = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    valid = (iy < dimy) & (ix < dimx)
+    w = jnp.where(valid, w, 0.0)
+    moving = valid & (w > 0)
+    mm = moving[None]
+
+    # integrate (no .at indexed update — Mosaic has no scatter)
+    V = jnp.stack([V[0], V[1] + dt * gravity_y, V[2]])
+    V = V * jnp.maximum(0.0, 1.0 - damping * dt)
+    V = jnp.where(mm, V, 0.0)
+    prev = P
+    P = jnp.where(mm, P + dt * V, P)
+
+    iyi = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    ixi = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+
+    def spring_phase(P, dy, dx, color, rest, stiff):
+        if (dy, dx) == (0, 1):
+            sel = (ixi % 2) == color
+        elif (dy, dx) == (1, 0):
+            sel = (iyi % 2) == color
+        elif (dy, dx) == (0, 2):
+            sel = ((ixi // 2) % 2) == color
+        elif (dy, dx) == (2, 0):
+            sel = ((iyi // 2) % 2) == color
+        else:
+            sel = (iyi % 2) == color
+        Pb = _shift(P, dy, dx)
+        wb = _shift(w, dy, dx)
+        pair_ok = sel & valid & _shift(valid, dy, dx, fill=False)
+        d = Pb - P
+        dist = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2] + _EPS)
+        C = dist - rest
+        wsum = w + wb
+        s = jnp.where(pair_ok & (wsum > 0),
+                      relax * stiff * C / ((wsum + _EPS) * dist), 0.0)
+        dA = (w * s)[None] * d
+        dB = (-(wb * s))[None] * d
+        return P + dA + _shift(dB, -dy, -dx)
+
+    def plane(P):
+        y = P[1]
+        pen = coldist - y
+        contact = (pen > 0) & moving
+        dy_ = jnp.where(contact, pen, 0.0)
+        dx_ = P[0] - prev[0]
+        dz_ = P[2] - prev[2]
+        t_norm = jnp.sqrt(dx_ * dx_ + dz_ * dz_ + _EPS)
+        scale = jnp.minimum(1.0, mu * jnp.maximum(pen, 0.0) / t_norm)
+        f = jnp.where(contact, scale, 0.0)
+        return jnp.stack([P[0] - dx_ * f, P[1] + dy_, P[2] - dz_ * f])
+
+    def body(_, P):
+        for dy, dx, rest_k, cls in GRID_STENCIL_CLASSES:
+            rest = rest_k * spacing
+            stiff = stiffness[cls]
+            for color in (0, 1):
+                P = spring_phase(P, dy, dx, color, rest, stiff)
+        return plane(P)
+
+    P = jax.lax.fori_loop(0, iterations, body, P, unroll=False)
+    # NOTE: no velocity finalize here — the caller may still apply
+    # self-collision contacts to P before computing V = (P - prev) / dt
+    # (prev is the caller's input P).  V output is the predicted velocity.
+
+    out_P_ref[0] = P
+    out_V_ref[0] = V
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("iterations", "interpret"),
+)
+def pallas_substep(params_vec, P, V, w, iterations: int = 30,
+                   interpret: bool = False):
+    """One XPBD substep for a batch of grid-cloth envs.
+
+    params_vec (B, PARAM_LEN) f32; P, V (B, 3, H, W); w (B, H, W).
+    Returns (P', V')."""
+    B, _, H, W = P.shape
+    kernel = functools.partial(_substep_kernel, H=H, W=W,
+                               iterations=iterations)
+    out_P, out_V = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, PARAM_LEN), lambda b: (b, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3, H, W), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, H, W), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 3, H, W), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, H, W), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(P.shape, P.dtype),
+            jax.ShapeDtypeStruct(V.shape, V.dtype),
+        ],
+        interpret=interpret,
+    )(params_vec, P, V, w)
+    return out_P, out_V
+
+
+def pack_params(params, topo):
+    """SolverParams + GridTopology -> (PARAM_LEN,) f32 vector (per env).
+    dt here is the SUBSTEP dt."""
+    return jnp.stack([
+        jnp.float32(0.0),  # slot 0 (substep dt) filled by caller
+        params.gravity[1],
+        params.damping,
+        params.dynamic_friction,
+        params.collision_distance,
+        params.relaxation_factor,
+        topo.spacing,
+        topo.stiffness[0],
+        topo.stiffness[1],
+        topo.stiffness[2],
+        topo.dimx.astype(jnp.float32),
+        topo.dimy.astype(jnp.float32),
+    ])

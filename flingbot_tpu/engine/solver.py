@@ -269,7 +269,7 @@ def _substep(P, V, w, moving_mask, params, dt, iterations, solve_fn,
     P = jax.lax.fori_loop(0, iterations, body, P, unroll=False)
     # contacts once per substep from the per-step neighbor structure
     if contact_fn is not None:
-        P = contact_fn(P)
+        P = contact_fn(P, prev)
         P = solve_plane(P, prev, params, moving_mask)
     V_new = (P - prev) / dt
     V = jnp.where(mm, V_new, V)
@@ -302,7 +302,10 @@ def step(
     self_collision: bool = True,
     spring_mode: str = "gs",
     contact_mode: str = "sweep",
+    resort_interval: int = 4,
     picker_radius: float = 0.02,
+    backend: str = "xla",
+    pallas_interpret: bool = False,
 ) -> ClothState:
     """Advance the world by one frame: dt split into `substeps` XPBD substeps
     of `iterations` constraint projections each — the TPU analog of
@@ -310,20 +313,73 @@ def step(
 
     contact_mode: 'sweep' (Morton-sorted roll-compare, the TPU fast path)
     or 'table' (exact hash-grid neighbor table — gather-bound, for
-    verification)."""
+    verification).  backend: 'xla' or 'pallas' (grid cloths only — the
+    VMEM-resident substep kernel in pallas_kernels.py)."""
     if isinstance(topo, GridTopology):
         return _step_grid(
             state, topo, params, substeps, iterations, self_collision,
-            spring_mode, contact_mode, picker_radius,
+            spring_mode, contact_mode, resort_interval, picker_radius,
+            backend, pallas_interpret,
         )
     return _step_mesh(
         state, topo, params, substeps, iterations, self_collision,
-        contact_mode, picker_radius,
+        contact_mode, resort_interval, picker_radius,
     )
 
 
+
+
+def _cached_sweep_order(state, flatP, participate, radius, resort_interval):
+    """Morton ordering, re-sorted every `resort_interval` steps.
+
+    The argsort is the expensive part of self-collision (a bitonic sort of
+    ~10k keys per env); particles move ~1e-3 m/step against a 0.011 m cell,
+    so a slightly stale ordering costs nothing — the sweep window absorbs
+    it.  The cached permutation lives in ClothState."""
+    need = (state.step_count % resort_interval) == 0
+
+    def compute(_):
+        return collisions.sweep_order(flatP, participate, radius)
+
+    def cached(_):
+        return state.sweep_perm, state.sweep_inv
+
+    return jax.lax.cond(need, compute, cached, None)
+
+
+def _run_substeps_pallas(P, V, w, valid, moving, params, topo, substeps,
+                         iterations, contact_fn, picker_pos, picker_radius,
+                         interpret):
+    """Pallas-backed substeps: integrate + springs + plane run inside the
+    VMEM-resident kernel; contacts / finalize / picker spheres outside."""
+    from flingbot_tpu.engine.pallas_kernels import pallas_substep, pack_params
+
+    dt = params.dt / substeps
+    pvec = pack_params(params, topo).at[0].set(dt)
+    mm = moving[None]
+
+    def one(carry, _):
+        P, V = carry
+        prev = P
+        Pn, Vp = pallas_substep(
+            pvec[None], P[None], V[None], w[None],
+            iterations=iterations, interpret=interpret)
+        P, V = Pn[0], Vp[0]
+        if contact_fn is not None:
+            P = contact_fn(P, prev)
+            P = solve_plane(P, prev, params, moving)
+        V = jnp.where(mm, (P - prev) / dt, V)
+        P = solve_picker_spheres(P, picker_pos, picker_radius, params,
+                                 moving)
+        return (P, V), None
+
+    (P, V), _ = jax.lax.scan(one, (P, V), None, length=substeps)
+    return P, V
+
+
 def _step_grid(state, topo, params, substeps, iterations, self_collision,
-               spring_mode, contact_mode, picker_radius):
+               spring_mode, contact_mode, resort_interval, picker_radius,
+               backend="xla", pallas_interpret=False):
     Pl, valid = gather_to_lattice(state.positions, topo)  # (3, H, W)
     Vl, _ = gather_to_lattice(state.velocities, topo)
     wl, _ = gather_to_lattice(state.inv_mass, topo)
@@ -331,54 +387,71 @@ def _step_grid(state, topo, params, substeps, iterations, self_collision,
     moving = valid & (wl > 0)
 
     contact_fn = None
+    perm = inv_perm = None
     if self_collision:
         flat_moving = moving.reshape(-1)
+        flat_valid = valid.reshape(-1)
         if contact_mode == "sweep":
-            perm, inv_perm = collisions.sweep_order(
-                Pl.reshape(3, -1), flat_moving, params.radius)
-            contact_fn = lambda P: collisions.solve_contacts_sweep(
-                P, wl, moving, perm, inv_perm, rest_dist=params.radius,
-                lattice_w=topo.max_dimx)
+            perm, inv_perm = _cached_sweep_order(
+                state, Pl.reshape(3, -1), flat_valid, params.radius,
+                resort_interval)
+            contact_fn = lambda P, prev: collisions.solve_contacts_sweep(
+                P, wl, moving, perm, inv_perm, params,
+                rest_dist=params.radius, lattice_w=topo.max_dimx,
+                active=valid, prev=prev)
         else:
             nbr_idx, nbr_mask = collisions.find_neighbors_grid(
                 Pl.reshape(3, -1), flat_moving, topo.max_dimx, params.radius)
-            contact_fn = lambda P: collisions.solve_contacts(
+            contact_fn = lambda P, prev: collisions.solve_contacts(
                 P, wl, moving, nbr_idx, nbr_mask, rest_dist=params.radius)
 
-    solve_fn = lambda P: solve_springs_grid(
-        P, wl, valid, topo, params.relaxation_factor, spring_mode
-    )
-    Pl, Vl = _run_substeps(
-        Pl, Vl, wl, moving, params, substeps, iterations, solve_fn,
-        contact_fn, state.picker_pos, picker_radius,
-    )
+    if backend == "pallas":
+        Pl, Vl = _run_substeps_pallas(
+            Pl, Vl, wl, valid, moving, params, topo, substeps, iterations,
+            contact_fn, state.picker_pos, picker_radius, pallas_interpret,
+        )
+    else:
+        solve_fn = lambda P: solve_springs_grid(
+            P, wl, valid, topo, params.relaxation_factor, spring_mode
+        )
+        Pl, Vl = _run_substeps(
+            Pl, Vl, wl, moving, params, substeps, iterations, solve_fn,
+            contact_fn, state.picker_pos, picker_radius,
+        )
 
     positions = scatter_from_lattice(Pl, state.positions, topo)
     velocities = scatter_from_lattice(Vl, state.velocities, topo)
     return state.replace(
-        positions=positions, velocities=velocities, time=state.time + params.dt
+        positions=positions, velocities=velocities,
+        time=state.time + params.dt,
+        step_count=state.step_count + 1,
+        sweep_perm=perm if perm is not None else state.sweep_perm,
+        sweep_inv=inv_perm if inv_perm is not None else state.sweep_inv,
     )
 
 
 def _step_mesh(state, topo, params, substeps, iterations, self_collision,
-               contact_mode, picker_radius):
+               contact_mode, resort_interval, picker_radius):
     P = state.positions.T  # (3, N)
     V = state.velocities.T
     w = jnp.where(state.active, state.inv_mass, 0.0)
     moving = state.active & (w > 0)
 
     contact_fn = None
+    perm = inv_perm = None
     if self_collision:
         if contact_mode == "sweep":
-            perm, inv_perm = collisions.sweep_order(P, moving, params.radius)
+            perm, inv_perm = _cached_sweep_order(
+                state, P, state.active, params.radius, resort_interval)
             rest_sorted = topo.rest_positions.T[:, perm]
-            contact_fn = lambda Px: collisions.solve_contacts_sweep(
-                Px, w, moving, perm, inv_perm, rest_dist=params.radius,
-                rest_sorted=rest_sorted)
+            contact_fn = lambda Px, prev: collisions.solve_contacts_sweep(
+                Px, w, moving, perm, inv_perm, params,
+                rest_dist=params.radius, rest_sorted=rest_sorted,
+                active=state.active, prev=prev)
         else:
             nbr_idx, nbr_mask = collisions.find_neighbors_hash(
                 P, moving, params.radius, topo.rest_positions.T)
-            contact_fn = lambda Px: collisions.solve_contacts(
+            contact_fn = lambda Px, prev: collisions.solve_contacts(
                 Px, w, moving, nbr_idx, nbr_mask, rest_dist=params.radius)
 
     solve_fn = lambda Px: solve_springs_mesh(Px, w, topo,
@@ -388,7 +461,11 @@ def _step_mesh(state, topo, params, substeps, iterations, self_collision,
         contact_fn, state.picker_pos, picker_radius,
     )
     return state.replace(
-        positions=P.T, velocities=V.T, time=state.time + params.dt)
+        positions=P.T, velocities=V.T, time=state.time + params.dt,
+        step_count=state.step_count + 1,
+        sweep_perm=perm if perm is not None else state.sweep_perm,
+        sweep_inv=inv_perm if inv_perm is not None else state.sweep_inv,
+    )
 
 
 def substep(*args, **kwargs):  # pragma: no cover - thin alias

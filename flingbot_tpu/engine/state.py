@@ -124,6 +124,9 @@ class ClothState(struct.PyTreeNode):
       picked_idx  (P,)   i32   index of grasped particle, -1 if none
       grasp_offset(P, 3) f32   particle position relative to picker at grasp
       time        ()     f32   sim time
+      sweep_perm  (N,)   i32   cached Morton ordering for self-collision
+      sweep_inv   (N,)   i32   (re-sorted every resort_interval steps)
+      step_count  ()     i32
     """
 
     positions: jnp.ndarray
@@ -135,6 +138,9 @@ class ClothState(struct.PyTreeNode):
     picked_idx: jnp.ndarray
     grasp_offset: jnp.ndarray
     time: jnp.ndarray
+    sweep_perm: jnp.ndarray
+    sweep_inv: jnp.ndarray
+    step_count: jnp.ndarray
 
     @property
     def num_particles(self) -> int:
@@ -168,6 +174,9 @@ class ClothState(struct.PyTreeNode):
             picked_idx=jnp.full((num_pickers,), -1, jnp.int32),
             grasp_offset=jnp.zeros((num_pickers, 3), jnp.float32),
             time=jnp.float32(0.0),
+            sweep_perm=jnp.arange(cap, dtype=jnp.int32),
+            sweep_inv=jnp.arange(cap, dtype=jnp.int32),
+            step_count=jnp.int32(0),
         )
 
     # -- pyflex-compatible accessors (reference: pyflex.cpp:326-922) --------

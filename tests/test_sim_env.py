@@ -56,7 +56,9 @@ class TestSimEnvEpisode:
     def test_task_generation_produces_crumpled_cloth(self, task_file):
         loader = TaskLoader(task_file)
         task = loader.get_next_task()
-        assert task.initial_coverage < task.flatten_area * 0.99
+        # tiny test cloths (24-32 particles ~ 15 cm) only crumple mildly;
+        # realistic sizes (64+) reach ~0.3 coverage ratio
+        assert task.initial_coverage < task.flatten_area * 0.97
         assert task.particle_pos.size > 0
 
     def test_episode_and_replay(self, task_file, tmp_path):
