@@ -50,6 +50,7 @@ def make_scene(
     config: Dict[str, Any],
     capacity: "int | None" = None,
     max_grid_dim: int = MAX_GRID_DIM,
+    mesh_caps: "tuple[int, int, int] | None" = None,
 ) -> Scene:
     """Build topology + fresh state from a reference-style config dict
     (keys as produced by Task.get_config / flex_utils.get_default_config).
@@ -65,6 +66,8 @@ def make_scene(
     stiff3 = (float(stiffness[0]), float(stiffness[1]), float(stiffness[2]))
 
     if mesh_verts.size > 0:
+        vcap, ecap, tcap = mesh_caps or (
+            MESH_VERT_CAPACITY, MESH_EDGE_CAPACITY, MESH_TRI_CAPACITY)
         verts = mesh_verts.reshape(-1, 3)
         n = verts.shape[0]
         topo = build_mesh_topology(
@@ -74,15 +77,15 @@ def make_scene(
             np.asarray(config["mesh_shear_edges"], np.int64).reshape(-1, 2),
             np.asarray(config["mesh_faces"], np.int64).reshape(-1, 3),
             stiffness=stiff3,
-            capacity=MESH_VERT_CAPACITY,
-            edge_capacity=MESH_EDGE_CAPACITY,
-            tri_capacity=MESH_TRI_CAPACITY,
+            capacity=vcap,
+            edge_capacity=ecap,
+            tri_capacity=tcap,
         )
         inv_mass = np.full(n, n / cloth_mass, np.float32)
         pos = verts.copy()
         cloth_pos = np.asarray(config.get("cloth_pos", (0, 0, 0)), np.float32)
         pos += np.array([cloth_pos[0], -cloth_pos[1], cloth_pos[2]], np.float32)
-        state = ClothState.create(pos, inv_mass, capacity=MESH_VERT_CAPACITY)
+        state = ClothState.create(pos, inv_mass, capacity=vcap)
     else:
         dimx, dimy = (int(v) for v in config["cloth_size"])
         topo = build_grid_topology(
@@ -139,9 +142,11 @@ def set_scene(
     state: Optional[Dict[str, Any]] = None,
     capacity: "int | None" = None,
     max_grid_dim: int = MAX_GRID_DIM,
+    mesh_caps: "tuple[int, int, int] | None" = None,
 ) -> Scene:
     """set_scene parity (flex_utils.py:320-355): build + optionally restore."""
-    scene = make_scene(config, capacity=capacity, max_grid_dim=max_grid_dim)
+    scene = make_scene(config, capacity=capacity, max_grid_dim=max_grid_dim,
+                       mesh_caps=mesh_caps)
     if state is not None:
         scene = apply_state(scene, state)
     return scene

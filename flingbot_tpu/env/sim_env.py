@@ -165,6 +165,7 @@ class SimEnv:
         self_collision: bool = True,
         spring_mode: str = "gs",
         max_grid_dim: int = 104,
+        mesh_caps=None,
         **_unused,
     ):
         self.get_task_fn = get_task_fn
@@ -195,6 +196,7 @@ class SimEnv:
         self.self_collision = self_collision
         self.spring_mode = spring_mode
         self.max_grid_dim = max_grid_dim
+        self.mesh_caps = mesh_caps
         self.prim_cfg = PrimitiveConfig(
             grasp_height=grasp_height,
             fling_speed=fling_speed,
@@ -239,7 +241,7 @@ class SimEnv:
         self.current_task = self.get_task_fn()
         scene = set_scene(
             self.current_task.get_config(), self.current_task.get_state(),
-            max_grid_dim=self.max_grid_dim)
+            max_grid_dim=self.max_grid_dim, mesh_caps=self.mesh_caps)
         self.topo = scene.topo
         self.state = scene.state.replace(
             picker_pos=jnp.asarray(PARK_PICKERS))

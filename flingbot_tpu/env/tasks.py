@@ -260,6 +260,7 @@ def generate_randomization(
     cloth_mesh_path: Optional[str] = None,
     params: Optional[SolverParams] = None,
     max_grid_dim: int = 104,
+    mesh_caps=None,
 ) -> Optional[Dict]:
     """Generate one crumpled-cloth task (reference tasks.py:105-284).
 
@@ -320,7 +321,8 @@ def generate_randomization(
         "flip_mesh": 0,
         **mesh_arrays,
     }
-    scene = scene_mod.make_scene(config, max_grid_dim=max_grid_dim)
+    scene = scene_mod.make_scene(config, max_grid_dim=max_grid_dim,
+                             mesh_caps=mesh_caps)
     topo, state = scene.topo, scene.state
 
     if cloth_type == "mesh":
