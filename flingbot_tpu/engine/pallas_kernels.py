@@ -66,9 +66,20 @@ def _substep_kernel(param_ref, P_ref, V_ref, w_ref, out_P_ref, out_V_ref,
     V = V_ref[0]
     w = w_ref[0]  # (H, W)
 
-    iy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
-    ix = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
-    valid = (iy < dimy) & (ix < dimx)
+    # Mosaic iota must be integer-typed
+    iyi = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    ixi = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    dimx_i = dimx.astype(jnp.int32)
+    dimy_i = dimy.astype(jnp.int32)
+    valid = (iyi < dimy_i) & (ixi < dimx_i)
+
+    def nbr_valid(dy, dx):
+        # validity of the (y+dy, x+dx) neighbor, computed from iota instead
+        # of shifting the bool mask (Mosaic cannot pad bool vectors)
+        return (
+            (iyi + dy >= 0) & (iyi + dy < dimy_i)
+            & (ixi + dx >= 0) & (ixi + dx < dimx_i)
+        )
     w = jnp.where(valid, w, 0.0)
     moving = valid & (w > 0)
     mm = moving[None]
@@ -79,9 +90,6 @@ def _substep_kernel(param_ref, P_ref, V_ref, w_ref, out_P_ref, out_V_ref,
     V = jnp.where(mm, V, 0.0)
     prev = P
     P = jnp.where(mm, P + dt * V, P)
-
-    iyi = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-    ixi = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
 
     def spring_phase(P, dy, dx, color, rest, stiff):
         if (dy, dx) == (0, 1):
@@ -96,7 +104,7 @@ def _substep_kernel(param_ref, P_ref, V_ref, w_ref, out_P_ref, out_V_ref,
             sel = (iyi % 2) == color
         Pb = _shift(P, dy, dx)
         wb = _shift(w, dy, dx)
-        pair_ok = sel & valid & _shift(valid, dy, dx, fill=False)
+        pair_ok = sel & valid & nbr_valid(dy, dx)
         d = Pb - P
         dist = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2] + _EPS)
         C = dist - rest
