@@ -34,19 +34,18 @@ _EPS = 1e-9
 PARAM_LEN = 12
 
 
-def _shift(a, dy, dx, fill=0.0):
-    """Static shift on the last two axes of a (3, H, W) or (H, W) value
-    using pad+slice (Mosaic-friendly, no wraparound)."""
-    H, W = a.shape[-2], a.shape[-1]
-    pad_y = (max(-dy, 0), max(dy, 0))
-    pad_x = (max(-dx, 0), max(dx, 0))
-    pads = ((0, 0),) * (a.ndim - 2) + (pad_y, pad_x)
-    ap = jnp.pad(a, pads, constant_values=fill)
-    idx = (slice(None),) * (a.ndim - 2) + (
-        slice(pad_y[0] + dy, pad_y[0] + dy + H),
-        slice(pad_x[0] + dx, pad_x[0] + dx + W),
-    )
-    return ap[idx]
+def _shift(a, dy, dx):
+    """out[..., y, x] = a[..., y+dy, x+dx] WITH WRAPAROUND (tpu.rotate —
+    Mosaic has no pad/slice shift).  Callers must mask wrap positions:
+    forward reads are masked by the pair-validity tests, the dB shift-back
+    multiplies by an explicit in-range mask."""
+    out = a
+    if dy:
+        # pltpu.roll requires a non-negative shift
+        out = pltpu.roll(out, (-dy) % a.shape[-2], axis=out.ndim - 2)
+    if dx:
+        out = pltpu.roll(out, (-dx) % a.shape[-1], axis=out.ndim - 1)
+    return out
 
 
 def _substep_kernel(param_ref, P_ref, V_ref, w_ref, out_P_ref, out_V_ref,
@@ -113,7 +112,13 @@ def _substep_kernel(param_ref, P_ref, V_ref, w_ref, out_P_ref, out_V_ref,
                       relax * stiff * C / ((wsum + _EPS) * dist), 0.0)
         dA = (w * s)[None] * d
         dB = (-(wb * s))[None] * d
-        return P + dA + _shift(dB, -dy, -dx)
+        # shift-back wraps; zero the wrapped rows/cols explicitly
+        back_ok = (
+            (iyi - dy >= 0) & (iyi - dy < H)
+            & (ixi - dx >= 0) & (ixi - dx < W)
+        )
+        dB_back = jnp.where(back_ok[None], _shift(dB, -dy, -dx), 0.0)
+        return P + dA + dB_back
 
     def plane(P):
         y = P[1]

@@ -55,7 +55,7 @@ def main():
     args = parser.parse_args()
     seed_all(args.seed)
     os.makedirs(args.log, exist_ok=True)
-    policy = MaximumValuePolicy(seed=args.seed, **vars(args))
+    policy = MaximumValuePolicy(**vars(args))
     if args.load:
         load_checkpoint(args.load, policy)
     dataset_path = f"{args.log}/replay_buffer.hdf5"

@@ -54,7 +54,7 @@ def make_writer(logdir):
 def setup(args):
     """setup_network parity (utils.py:100-141): build policy, auto-resume,
     derive the replay-buffer path (fresh *_eval_i dir in eval mode)."""
-    policy = MaximumValuePolicy(seed=args.seed, **vars(args))
+    policy = MaximumValuePolicy(**vars(args))
     checkpoint_path = args.load
     dataset_path = args.dataset_path
     if (args.log and os.path.exists(args.log) and checkpoint_path is None

@@ -1,0 +1,88 @@
+"""BatchSimEnv: the vmapped Ray-pool replacement, plus a run_sim smoke."""
+
+import subprocess
+import sys
+
+import h5py
+import numpy as np
+import pytest
+
+from flingbot_tpu.env.batch_env import BatchSimEnv
+from flingbot_tpu.env.tasks import TaskLoader
+from flingbot_tpu.learning.nets import MaximumValuePolicy
+from tests.test_sim_env import MAX_DIM, task_file  # fixture reuse  # noqa
+
+
+class TestBatchEnv:
+    def test_lockstep_episodes_and_replay(self, task_file, tmp_path):
+        loader = TaskLoader(task_file)
+        replay = str(tmp_path / "replay.hdf5")
+        env = BatchSimEnv(
+            get_task_fn=loader.get_next_task,
+            num_envs=2,
+            replay_buffer_path=replay,
+            obs_dim=64,
+            num_rotations=2,
+            scale_factors=[1.0, 1.5],
+            action_primitives=["fling"],
+            episode_length=1,
+            render_dim=128,
+            max_grid_dim=MAX_DIM,
+            self_collision=False,
+        )
+        policy = MaximumValuePolicy(
+            action_primitives=["fling"], num_rotations=2,
+            scale_factors=[1.0, 1.5], obs_dim=64)
+        obs = env.reset()
+        assert obs.shape == (2, 4, 4, 64, 64)
+        vm = policy.batch_value_maps(obs)
+        assert vm.shape == (2, 1, 4, 64, 64)
+        obs2 = env.step(vm)
+        assert obs2.shape == (2, 4, 4, 64, 64)
+        # episode_length=1 -> both envs terminated and reloaded
+        assert env.episodes_done == 2
+        assert (env.timesteps == 0).all()
+        with h5py.File(replay, "r") as f:
+            assert len(f) == 2
+            assert all("_last" in k for k in f)
+
+
+@pytest.mark.slow
+class TestRunSimSmoke:
+    def test_run_sim_eval_mode(self, task_file, tmp_path):
+        """run_sim.py --eval runs episodes over the whole task set and
+        writes the *_eval_0 replay dir (utils.py:125-137 contract)."""
+        log = tmp_path / "run"
+        log.mkdir()
+        # create a checkpoint to evaluate
+        policy = MaximumValuePolicy(
+            action_primitives=["fling"], num_rotations=2,
+            scale_factors=[1.0], obs_dim=64)
+        from flingbot_tpu.utils.checkpoint import save_checkpoint
+
+        ckpt = str(log / "ckpt.pth")
+        save_checkpoint(ckpt, policy)
+        cmd = [
+            sys.executable, "run_sim.py",
+            "--tasks", task_file,
+            "--load", ckpt,
+            "--eval",
+            "--num_envs", "1",
+            "--num_rotations", "2",
+            "--scale_factors", "1.0",
+            "--episode_length", "1",
+            "--render_dim", "128",
+            "--max_grid_dim", str(MAX_DIM),
+            "--no_self_collision",
+            "--log", str(log),
+        ]
+        import os
+
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=1200, env=env,
+            cwd="/root/repo")
+        assert out.returncode == 0, out.stderr[-2000:]
+        eval_dir = ckpt.split(".pth")[0] + "_eval_0/"
+        assert os.path.exists(eval_dir + "replay_buffer.hdf5"), out.stdout
