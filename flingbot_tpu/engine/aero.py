@@ -1,0 +1,53 @@
+"""Cloth aerodynamics: drag / lift / wind forces on the cloth surface.
+
+NvFlexParams semantics (reference PyFlex/include/NvFlex.h:120-122): drag
+and lift act on dynamic triangles against the relative wind.  The flingbot
+scene leaves all three at zero (main.cpp:753-764 defaults, never overridden
+by softgym_cloth.h), so this is OFF by default (`aero=False` in
+solver.step) and exists for NvFlexParams surface completeness and for users
+who want air resistance during flings.
+
+TPU formulation: per-particle surface normals instead of per-triangle
+gathers — for grid cloths the normal is the cross product of the two
+stencil tangents (pure shifts); meshes reuse the same formula on a
+particle's edge-neighbor tangents.  Force model (standard cloth aero):
+
+    v_rel = v - wind
+    f = -( drag * (v_rel . n) n + lift * t ) * |v_rel|,  t = tangential part
+
+applied as acceleration through the inverse mass during predict.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_EPS = 1e-9
+
+
+def grid_normals(P, valid):
+    """Per-particle normals of a lattice cloth P (3, H, W) from central
+    differences of the two surface tangents."""
+    from flingbot_tpu.engine.solver import shift2d
+
+    ty = shift2d(P, 1, 0) - shift2d(P, -1, 0)
+    tx = shift2d(P, 0, 1) - shift2d(P, 0, -1)
+    n0 = ty[1] * tx[2] - ty[2] * tx[1]
+    n1 = ty[2] * tx[0] - ty[0] * tx[2]
+    n2 = ty[0] * tx[1] - ty[1] * tx[0]
+    norm = jnp.sqrt(n0 * n0 + n1 * n1 + n2 * n2 + _EPS)
+    n = jnp.stack([n0, n1, n2]) / norm[None]
+    return jnp.where(valid[None], n, 0.0)
+
+
+def aero_accel(V, normals, params, moving_mask):
+    """Acceleration from drag/lift/wind.  V, normals (3, ...)."""
+    shape_tail = (1,) * (V.ndim - 1)
+    wind = params.wind.reshape((3,) + shape_tail)
+    vr = V - wind
+    speed = jnp.sqrt(vr[0] ** 2 + vr[1] ** 2 + vr[2] ** 2 + _EPS)
+    vn = vr[0] * normals[0] + vr[1] * normals[1] + vr[2] * normals[2]
+    normal_part = vn[None] * normals
+    tangential = vr - normal_part
+    f = -(params.drag * normal_part + params.lift * tangential) * speed[None]
+    return jnp.where(moving_mask[None], f, 0.0)

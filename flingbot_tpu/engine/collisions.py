@@ -220,9 +220,13 @@ def solve_contacts_sweep(
     Ps0 = Pf[:, perm]
     prev_s = (prev.reshape(3, -1)[:, perm]) if prev is not None else Ps0
 
-    # static pair masks per k (independent of positions)
-    pair_static = []
-    for k in list(range(1, window + 1)) + list(range(-window, 0)):
+    # static pair data per k (independent of the iterating positions):
+    # validity masks, neighbor inverse masses, and the per-substep constant
+    # part of the pair's relative motion (prev_s - roll(prev_s)) — so the
+    # inner loop spends exactly 3 rolls (of Ps) per window offset.
+    ks = list(range(1, window + 1)) + list(range(-window, 0))
+    pair_static, wn_k, dprev_k = [], [], []
+    for k in ks:
         ok = (idx + k >= 0) & (idx + k < n) & act_s & jnp.roll(act_s, -k)
         if lattice_w is not None:
             idn = jnp.roll(ids, -k)
@@ -235,15 +239,15 @@ def solve_contacts_sweep(
             rest2 = rd[0] * rd[0] + rd[1] * rd[1] + rd[2] * rd[2]
             ok = ok & (rest2 >= rest_dist * rest_dist)
         pair_static.append(ok)
+        wn_k.append(jnp.roll(ws, -k))
+        dprev_k.append(prev_s - jnp.roll(prev_s, -k, axis=1))
 
     def one_iter(_, Ps):
         delta = jnp.zeros_like(Ps)
         count = jnp.zeros(n, Ps.dtype)
-        Ds = Ps - prev_s
-        for i, k in enumerate(list(range(1, window + 1))
-                              + list(range(-window, 0))):
+        for i, k in enumerate(ks):
             Pn = jnp.roll(Ps, -k, axis=1)
-            wn = jnp.roll(ws, -k)
+            wn = wn_k[i]
             d = Ps - Pn
             dist = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2] + _EPS)
             pen = rest_dist - dist
@@ -252,8 +256,9 @@ def solve_contacts_sweep(
             s = jnp.where(ok, pen / ((wsum + _EPS) * dist), 0.0)
             delta = delta + (ws * s)[None] * d
             count = count + ok
-            # particle Coulomb friction on the pair's tangential motion
-            rel = Ds - jnp.roll(Ds, -k, axis=1)
+            # particle Coulomb friction on the pair's tangential motion:
+            # rel = (Ps - prev_s) - roll(Ps - prev_s) = d - dprev_k
+            rel = d - dprev_k[i]
             nhat = d / dist[None]
             rel_n = rel[0] * nhat[0] + rel[1] * nhat[1] + rel[2] * nhat[2]
             t0 = rel[0] - rel_n * nhat[0]
@@ -280,4 +285,186 @@ def solve_contacts_sweep(
 
     Ps = jax.lax.fori_loop(0, iterations, one_iter, Ps0)
     Pf = jnp.where(mf[None], Ps[:, inv_perm], Pf)
+    return Pf.reshape(shape)
+
+
+# --------------------------------------------------------------------------
+# block all-pairs contacts (the production path)
+# --------------------------------------------------------------------------
+#
+# The roll-based sweep above spends most of its time in lane-rotate
+# relayouts (20+ rolls per iteration).  This formulation reshapes the
+# Morton-sorted order into overlapping blocks of 32 consecutive particles
+# laid out on the SUBLANE axis — (3, 32, M) with the M blocks in lanes —
+# and solves all 32x32 pairs per block by broadcasting.  Every sorted-order
+# pair within distance 16 is covered (up to 31 opportunistically), the
+# inner loop is pure elementwise math over fully-utilized (32, M) tiles,
+# and the only relayouts are one transpose per substep and one lane-roll
+# per iteration.
+
+BLOCK_HALF = 16
+BLOCK = 2 * BLOCK_HALF
+
+
+def _to_half_blocks(x):
+    """(..., N) -> (..., 16, M): element 16*m + r at [..., r, m]."""
+    M = x.shape[-1] // BLOCK_HALF
+    y = x.reshape(x.shape[:-1] + (M, BLOCK_HALF))
+    return jnp.swapaxes(y, -1, -2)
+
+
+def _from_half_blocks(y):
+    """Inverse of _to_half_blocks."""
+    z = jnp.swapaxes(y, -1, -2)
+    return z.reshape(z.shape[:-2] + (-1,))
+
+
+def _extend(y):
+    """(..., 16, M) -> (..., 32, M): rows 16..31 of block m are rows 0..15
+    of block m+1 (garbage in the last block, masked by callers)."""
+    return jnp.concatenate([y, jnp.roll(y, -1, axis=-1)], axis=-2)
+
+
+def _fold(d):
+    """(..., 32, M) contributions -> (..., 16, M): the second-half rows
+    belong to block m+1's elements."""
+    first = d[..., :BLOCK_HALF, :]
+    second = jnp.roll(d[..., BLOCK_HALF:, :], 1, axis=-1)
+    return first + second
+
+
+class BlockContactContext:
+    """Per-step constants of the block contact solver, built once per
+    step() call and reused by every substep's projection."""
+
+    def __init__(self, perm, inv_perm, wf, participate, moving, params,
+                 rest_dist, lattice_w=None, rest_sorted=None):
+        n = wf.shape[0]
+        assert n % BLOCK_HALF == 0, \
+            "particle capacity must be a multiple of 16"
+        self.perm = perm
+        self.inv_perm = inv_perm
+        self.rest_dist = rest_dist
+        self.mu_p = params.particle_friction * params.dynamic_friction
+        self.dynamic_friction = params.dynamic_friction
+        self.collision_distance = params.collision_distance
+        M = n // BLOCK_HALF
+        self.ws_ext = _extend(_to_half_blocks(wf[perm]))
+        self.ms_half = _to_half_blocks(moving.reshape(-1)[perm])
+        act_ext = _extend(_to_half_blocks(participate[perm]))
+        col = jnp.arange(M)
+        last_col_ok = (col < M - 1)[None, :]
+        row_ok = act_ext & (
+            (jnp.arange(BLOCK)[:, None] < BLOCK_HALF) | last_col_ok)
+
+        ids_ext = _extend(_to_half_blocks(perm))
+        if lattice_w is not None:
+            ids_y = ids_ext // lattice_w
+            ids_x = ids_ext % lattice_w
+        if rest_sorted is not None:
+            rest_ext = _extend(_to_half_blocks(rest_sorted))
+        static_ok = []
+        for a in range(BLOCK):
+            ok = row_ok & row_ok[a][None, :]
+            b_idx = jnp.arange(BLOCK)[:, None]
+            ok = ok & (b_idx != a)
+            if a >= BLOCK_HALF:  # skip pairs living entirely in the overlap
+                ok = ok & (b_idx < BLOCK_HALF)
+            if lattice_w is not None:
+                ok = ok & ~((jnp.abs(ids_y - ids_y[a][None]) <= 1)
+                            & (jnp.abs(ids_x - ids_x[a][None]) <= 1))
+            if rest_sorted is not None:
+                rd0 = rest_ext[0, a][None] - rest_ext[0]
+                rd1 = rest_ext[1, a][None] - rest_ext[1]
+                rd2 = rest_ext[2, a][None] - rest_ext[2]
+                ok = ok & (rd0 * rd0 + rd1 * rd1 + rd2 * rd2
+                           >= rest_dist * rest_dist)
+            static_ok.append(ok)
+        self.static_ok = static_ok
+
+
+def solve_contacts_block(
+    P, w, moving_mask, perm, inv_perm, params, *, rest_dist,
+    iterations: int = 8, lattice_w=None, rest_sorted=None, active=None,
+    prev=None, ctx: "BlockContactContext | None" = None,
+):
+    """Iterated all-pairs-in-block contact projection + ground plane, with
+    PBD Coulomb particle friction.  Same contract as solve_contacts_sweep;
+    effective sorted-order window 16-31 instead of +-window.  Pass a
+    prebuilt `ctx` to amortize the static setup over the whole step."""
+    shape = P.shape
+    Pf = P.reshape(3, -1)
+    mf = moving_mask.reshape(-1)
+    if ctx is None:
+        ctx = BlockContactContext(
+            perm, inv_perm, w.reshape(-1),
+            (mf if active is None else active.reshape(-1)), moving_mask,
+            params, rest_dist, lattice_w=lattice_w, rest_sorted=rest_sorted)
+
+    rest_d = ctx.rest_dist
+    mu_p = ctx.mu_p
+    ws_ext = ctx.ws_ext
+    ms_half = ctx.ms_half
+    static_ok = ctx.static_ok
+
+    Y0 = _to_half_blocks(Pf[:, ctx.perm])  # (3, 16, M)
+    prev_half = (_to_half_blocks(prev.reshape(3, -1)[:, ctx.perm])
+                 if prev is not None else Y0)
+    prev_ext = _extend(prev_half)
+
+    def one_iter(_, Y):
+        Yx = _extend(Y)  # (3, 32, M)
+        Dx = Yx - prev_ext
+        deltas = []
+        counts = []
+        for a in range(BLOCK):
+            d0 = Yx[0, a][None] - Yx[0]  # (32, M)
+            d1 = Yx[1, a][None] - Yx[1]
+            d2 = Yx[2, a][None] - Yx[2]
+            dist2 = d0 * d0 + d1 * d1 + d2 * d2
+            dist = jnp.sqrt(dist2 + _EPS)
+            pen = rest_d - dist
+            wsum = ws_ext[a][None] + ws_ext
+            ok = static_ok[a] & (pen > 0) & (wsum > 0)
+            s = jnp.where(ok, pen / ((wsum + _EPS) * dist), 0.0)
+            wa_s = ws_ext[a][None] * s
+            # friction: tangential part of the pair's motion this substep
+            r0 = Dx[0, a][None] - Dx[0]
+            r1 = Dx[1, a][None] - Dx[1]
+            r2 = Dx[2, a][None] - Dx[2]
+            inv_d = 1.0 / dist
+            rel_n = (r0 * d0 + r1 * d1 + r2 * d2) * inv_d * inv_d
+            t0 = r0 - rel_n * d0
+            t1 = r1 - rel_n * d1
+            t2 = r2 - rel_n * d2
+            t_norm = jnp.sqrt(t0 * t0 + t1 * t1 + t2 * t2 + _EPS)
+            fr = jnp.minimum(1.0, mu_p * pen / t_norm)
+            fsc = jnp.where(ok, (ws_ext[a][None] / (wsum + _EPS)) * fr, 0.0)
+            da0 = jnp.sum(wa_s * d0 - fsc * t0, axis=0)  # (M,)
+            da1 = jnp.sum(wa_s * d1 - fsc * t1, axis=0)
+            da2 = jnp.sum(wa_s * d2 - fsc * t2, axis=0)
+            deltas.append(jnp.stack([da0, da1, da2]))
+            counts.append(jnp.sum(ok, axis=0))
+        delta = jnp.stack(deltas, axis=1)  # (3, 32, M)
+        count = jnp.stack(counts, axis=0).astype(Y.dtype)  # (32, M)
+        delta = _fold(delta)
+        count = _fold(count[None])[0]
+        Y = Y + jnp.where(
+            ms_half[None], delta / jnp.maximum(count, 1.0)[None], 0.0)
+        # ground plane in block layout
+        y = Y[1]
+        pen = ctx.collision_distance - y
+        contact = (pen > 0) & ms_half
+        dy_ = jnp.where(contact, pen, 0.0)
+        dx_ = Y[0] - prev_half[0]
+        dz_ = Y[2] - prev_half[2]
+        t_norm = jnp.sqrt(dx_ * dx_ + dz_ * dz_ + _EPS)
+        scale = jnp.minimum(
+            1.0, ctx.dynamic_friction * jnp.maximum(pen, 0.0) / t_norm)
+        f = jnp.where(contact, scale, 0.0)
+        return jnp.stack([Y[0] - dx_ * f, Y[1] + dy_, Y[2] - dz_ * f])
+
+    Y = jax.lax.fori_loop(0, iterations, one_iter, Y0)
+    Ps = _from_half_blocks(Y)
+    Pf = jnp.where(mf[None], Ps[:, ctx.inv_perm], Pf)
     return Pf.reshape(shape)

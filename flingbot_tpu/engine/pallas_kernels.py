@@ -90,54 +90,67 @@ def _substep_kernel(param_ref, P_ref, V_ref, w_ref, out_P_ref, out_V_ref,
     prev = P
     P = jnp.where(mm, P + dt * V, P)
 
-    def spring_phase(P, dy, dx, color, rest, stiff):
-        if (dy, dx) == (0, 1):
-            sel = (ixi % 2) == color
-        elif (dy, dx) == (1, 0):
-            sel = (iyi % 2) == color
-        elif (dy, dx) == (0, 2):
-            sel = ((ixi // 2) % 2) == color
-        elif (dy, dx) == (2, 0):
-            sel = ((iyi // 2) % 2) == color
-        else:
-            sel = (iyi % 2) == color
+    # ---- hoist per-phase constant fields out of the iteration loop -------
+    # coefA = relax*stiff*w_a/(w_a+w_b) on valid constraints (0 elsewhere),
+    # coefB likewise for the neighbor endpoint, mB = in-range mask for the
+    # shift-back.  The inner loop is then pure roll + fma work.
+    phases = []
+    for dy, dx, rest_k, cls in GRID_STENCIL_CLASSES:
+        rest = rest_k * spacing
+        stiff = stiffness[cls]
+        for color in (0, 1):
+            if (dy, dx) == (0, 1):
+                sel = (ixi % 2) == color
+            elif (dy, dx) == (1, 0):
+                sel = (iyi % 2) == color
+            elif (dy, dx) == (0, 2):
+                sel = ((ixi // 2) % 2) == color
+            elif (dy, dx) == (2, 0):
+                sel = ((iyi // 2) % 2) == color
+            else:
+                sel = (iyi % 2) == color
+            wb = _shift(w, dy, dx)
+            pair_ok = sel & valid & nbr_valid(dy, dx)
+            denom = w + wb
+            live = pair_ok & (denom > 0)
+            inv = relax * stiff / (denom + _EPS)
+            coefA = jnp.where(live, w * inv, 0.0)
+            coefB = jnp.where(live, wb * inv, 0.0)
+            back_ok = (
+                (iyi - dy >= 0) & (iyi - dy < H)
+                & (ixi - dx >= 0) & (ixi - dx < W)
+            )
+            mB = back_ok.astype(P.dtype)
+            phases.append((dy, dx, rest, coefA, coefB, mB))
+
+    def spring_phase(P, phase):
+        dy, dx, rest, coefA, coefB, mB = phase
         Pb = _shift(P, dy, dx)
-        wb = _shift(w, dy, dx)
-        pair_ok = sel & valid & nbr_valid(dy, dx)
         d = Pb - P
         dist = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2] + _EPS)
-        C = dist - rest
-        wsum = w + wb
-        s = jnp.where(pair_ok & (wsum > 0),
-                      relax * stiff * C / ((wsum + _EPS) * dist), 0.0)
-        dA = (w * s)[None] * d
-        dB = (-(wb * s))[None] * d
-        # shift-back wraps; zero the wrapped rows/cols explicitly
-        back_ok = (
-            (iyi - dy >= 0) & (iyi - dy < H)
-            & (ixi - dx >= 0) & (ixi - dx < W)
-        )
-        dB_back = jnp.where(back_ok[None], _shift(dB, -dy, -dx), 0.0)
-        return P + dA + dB_back
+        e = (dist - rest) / dist  # relative extension
+        dA = (coefA * e)[None] * d
+        dB = (coefB * e)[None] * d
+        return P + dA - mB[None] * _shift(dB, -dy, -dx)
+
+    mu_pen = mu  # plane friction coefficient
+    mov_f = moving.astype(P.dtype)
 
     def plane(P):
         y = P[1]
         pen = coldist - y
-        contact = (pen > 0) & moving
-        dy_ = jnp.where(contact, pen, 0.0)
+        contact_f = jnp.where(pen > 0, mov_f, 0.0)
+        dy_ = contact_f * pen
         dx_ = P[0] - prev[0]
         dz_ = P[2] - prev[2]
         t_norm = jnp.sqrt(dx_ * dx_ + dz_ * dz_ + _EPS)
-        scale = jnp.minimum(1.0, mu * jnp.maximum(pen, 0.0) / t_norm)
-        f = jnp.where(contact, scale, 0.0)
+        f = contact_f * jnp.minimum(
+            1.0, mu_pen * jnp.maximum(pen, 0.0) / t_norm)
         return jnp.stack([P[0] - dx_ * f, P[1] + dy_, P[2] - dz_ * f])
 
     def body(_, P):
-        for dy, dx, rest_k, cls in GRID_STENCIL_CLASSES:
-            rest = rest_k * spacing
-            stiff = stiffness[cls]
-            for color in (0, 1):
-                P = spring_phase(P, dy, dx, color, rest, stiff)
+        for phase in phases:
+            P = spring_phase(P, phase)
         return plane(P)
 
     P = jax.lax.fori_loop(0, iterations, body, P, unroll=False)

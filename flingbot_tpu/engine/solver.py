@@ -250,12 +250,16 @@ def solve_picker_spheres(P, picker_pos, picker_radius, params: SolverParams,
 # --------------------------------------------------------------------------
 
 def _substep(P, V, w, moving_mask, params, dt, iterations, solve_fn,
-             contact_fn):
+             contact_fn, normals_fn=None):
     """One XPBD substep: predict -> iterate constraints -> finalize.
     P, V: (3, ...); w, moving_mask: (...)."""
     g = params.gravity.reshape((3,) + (1,) * (P.ndim - 1))
     mm = moving_mask[None]
     V = V + dt * g
+    if normals_fn is not None:  # aero (NvFlex drag/lift/wind, NvFlex.h:120-122)
+        from flingbot_tpu.engine.aero import aero_accel
+
+        V = V + dt * aero_accel(V, normals_fn(P), params, moving_mask)
     V = V * jnp.maximum(0.0, 1.0 - params.damping * dt)
     V = jnp.where(mm, V, 0.0)
     prev = P
@@ -277,13 +281,14 @@ def _substep(P, V, w, moving_mask, params, dt, iterations, solve_fn,
 
 
 def _run_substeps(P, V, w, moving_mask, params, substeps, iterations,
-                  solve_fn, contact_fn, picker_pos, picker_radius):
+                  solve_fn, contact_fn, picker_pos, picker_radius,
+                  normals_fn=None):
     dt = params.dt / substeps
 
     def one(carry, _):
         P, V = carry
         P, V = _substep(P, V, w, moving_mask, params, dt, iterations,
-                        solve_fn, contact_fn)
+                        solve_fn, contact_fn, normals_fn)
         P = solve_picker_spheres(P, picker_pos, picker_radius, params,
                                  moving_mask)
         return (P, V), None
@@ -301,11 +306,13 @@ def step(
     iterations: int = 30,
     self_collision: bool = True,
     spring_mode: str = "gs",
-    contact_mode: str = "sweep",
+    contact_mode: str = "block",
+    contact_iterations: int = 8,
     resort_interval: int = 4,
     picker_radius: float = 0.02,
     backend: str = "xla",
     pallas_interpret: bool = False,
+    aero: bool = False,
 ) -> ClothState:
     """Advance the world by one frame: dt split into `substeps` XPBD substeps
     of `iterations` constraint projections each — the TPU analog of
@@ -318,12 +325,12 @@ def step(
     if isinstance(topo, GridTopology):
         return _step_grid(
             state, topo, params, substeps, iterations, self_collision,
-            spring_mode, contact_mode, resort_interval, picker_radius,
-            backend, pallas_interpret,
+            spring_mode, contact_mode, contact_iterations, resort_interval,
+            picker_radius, backend, pallas_interpret, aero,
         )
     return _step_mesh(
         state, topo, params, substeps, iterations, self_collision,
-        contact_mode, resort_interval, picker_radius,
+        contact_mode, contact_iterations, resort_interval, picker_radius,
     )
 
 
@@ -378,8 +385,9 @@ def _run_substeps_pallas(P, V, w, valid, moving, params, topo, substeps,
 
 
 def _step_grid(state, topo, params, substeps, iterations, self_collision,
-               spring_mode, contact_mode, resort_interval, picker_radius,
-               backend="xla", pallas_interpret=False):
+               spring_mode, contact_mode, contact_iterations,
+               resort_interval, picker_radius,
+               backend="xla", pallas_interpret=False, aero=False):
     Pl, valid = gather_to_lattice(state.positions, topo)  # (3, H, W)
     Vl, _ = gather_to_lattice(state.velocities, topo)
     wl, _ = gather_to_lattice(state.inv_mass, topo)
@@ -391,14 +399,23 @@ def _step_grid(state, topo, params, substeps, iterations, self_collision,
     if self_collision:
         flat_moving = moving.reshape(-1)
         flat_valid = valid.reshape(-1)
-        if contact_mode == "sweep":
+        if contact_mode in ("sweep", "block"):
             perm, inv_perm = _cached_sweep_order(
                 state, Pl.reshape(3, -1), flat_valid, params.radius,
                 resort_interval)
-            contact_fn = lambda P, prev: collisions.solve_contacts_sweep(
-                P, wl, moving, perm, inv_perm, params,
-                rest_dist=params.radius, lattice_w=topo.max_dimx,
-                active=valid, prev=prev)
+            if contact_mode == "block":
+                ctx = collisions.BlockContactContext(
+                    perm, inv_perm, wl.reshape(-1), flat_valid, moving,
+                    params, params.radius, lattice_w=topo.max_dimx)
+                contact_fn = lambda P, prev: collisions.solve_contacts_block(
+                    P, wl, moving, perm, inv_perm, params,
+                    rest_dist=params.radius, prev=prev,
+                    iterations=contact_iterations, ctx=ctx)
+            else:
+                contact_fn = lambda P, prev: collisions.solve_contacts_sweep(
+                    P, wl, moving, perm, inv_perm, params,
+                    rest_dist=params.radius, lattice_w=topo.max_dimx,
+                    active=valid, prev=prev)
         else:
             nbr_idx, nbr_mask = collisions.find_neighbors_grid(
                 Pl.reshape(3, -1), flat_moving, topo.max_dimx, params.radius)
@@ -414,9 +431,14 @@ def _step_grid(state, topo, params, substeps, iterations, self_collision,
         solve_fn = lambda P: solve_springs_grid(
             P, wl, valid, topo, params.relaxation_factor, spring_mode
         )
+        normals_fn = None
+        if aero:
+            from flingbot_tpu.engine.aero import grid_normals
+
+            normals_fn = lambda P: grid_normals(P, valid)
         Pl, Vl = _run_substeps(
             Pl, Vl, wl, moving, params, substeps, iterations, solve_fn,
-            contact_fn, state.picker_pos, picker_radius,
+            contact_fn, state.picker_pos, picker_radius, normals_fn,
         )
 
     positions = scatter_from_lattice(Pl, state.positions, topo)
@@ -431,7 +453,8 @@ def _step_grid(state, topo, params, substeps, iterations, self_collision,
 
 
 def _step_mesh(state, topo, params, substeps, iterations, self_collision,
-               contact_mode, resort_interval, picker_radius):
+               contact_mode, contact_iterations, resort_interval,
+               picker_radius):
     P = state.positions.T  # (3, N)
     V = state.velocities.T
     w = jnp.where(state.active, state.inv_mass, 0.0)
@@ -440,14 +463,23 @@ def _step_mesh(state, topo, params, substeps, iterations, self_collision,
     contact_fn = None
     perm = inv_perm = None
     if self_collision:
-        if contact_mode == "sweep":
+        if contact_mode in ("sweep", "block"):
             perm, inv_perm = _cached_sweep_order(
                 state, P, state.active, params.radius, resort_interval)
             rest_sorted = topo.rest_positions.T[:, perm]
-            contact_fn = lambda Px, prev: collisions.solve_contacts_sweep(
-                Px, w, moving, perm, inv_perm, params,
-                rest_dist=params.radius, rest_sorted=rest_sorted,
-                active=state.active, prev=prev)
+            if contact_mode == "block":
+                ctx = collisions.BlockContactContext(
+                    perm, inv_perm, w, state.active, moving,
+                    params, params.radius, rest_sorted=rest_sorted)
+                contact_fn = lambda Px, prev: collisions.solve_contacts_block(
+                    Px, w, moving, perm, inv_perm, params,
+                    rest_dist=params.radius, prev=prev,
+                    iterations=contact_iterations, ctx=ctx)
+            else:
+                contact_fn = lambda Px, prev: collisions.solve_contacts_sweep(
+                    Px, w, moving, perm, inv_perm, params,
+                    rest_dist=params.radius, rest_sorted=rest_sorted,
+                    active=state.active, prev=prev)
         else:
             nbr_idx, nbr_mask = collisions.find_neighbors_hash(
                 P, moving, params.radius, topo.rest_positions.T)

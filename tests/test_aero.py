@@ -1,0 +1,56 @@
+"""Aerodynamics (drag/lift/wind) tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flingbot_tpu.engine import ClothState, SolverParams, build_grid_topology, step
+from flingbot_tpu.engine.topology import grid_positions
+
+DIM = 12
+
+
+def falling_state(height=0.5):
+    pos = grid_positions(DIM, DIM, lower=(0.0, height, 0.0))
+    pos[:, [0, 2]] -= pos[:, [0, 2]].mean(axis=0)
+    inv_mass = np.full(DIM * DIM, DIM * DIM / 0.3, np.float32)
+    return ClothState.create(pos, inv_mass)
+
+
+def run(state, params, n, aero):
+    topo = build_grid_topology(DIM, DIM, max_dimx=DIM, max_dimy=DIM)
+    fn = jax.jit(lambda s: step(
+        s, topo, params, self_collision=False, aero=aero))
+    for _ in range(n):
+        state = fn(state)
+    return state
+
+
+class TestAero:
+    def test_drag_slows_falling_cloth(self):
+        state = falling_state()
+        no_aero = run(state, SolverParams(), 20, aero=False)
+        dragged = run(
+            state, SolverParams(drag=jnp.float32(20.0)), 20, aero=True)
+        # horizontal cloth falling face-down: drag opposes the fall
+        assert float(dragged.positions[:, 1].mean()) > \
+            float(no_aero.positions[:, 1].mean()) + 0.01
+
+    def test_wind_pushes_cloth(self):
+        state = falling_state(height=0.3)
+        params = SolverParams(
+            drag=jnp.float32(10.0),
+            wind=jnp.asarray([0.0, 2.0, 0.0], jnp.float32))
+        # upward wind with drag slows the fall vs still air
+        windy = run(state, params, 15, aero=True)
+        still = run(state, SolverParams(drag=jnp.float32(10.0)), 15,
+                    aero=True)
+        assert float(windy.positions[:, 1].mean()) > \
+            float(still.positions[:, 1].mean())
+
+    def test_zero_params_noop(self):
+        state = falling_state()
+        a = run(state, SolverParams(), 5, aero=True)
+        b = run(state, SolverParams(), 5, aero=False)
+        np.testing.assert_allclose(
+            np.asarray(a.positions), np.asarray(b.positions), atol=1e-6)
