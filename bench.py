@@ -30,7 +30,7 @@ BASELINE_ENV_STEPS_PER_SEC = 2000.0
 
 
 def main(num_envs: int = 512, dim: int = 100, steps: int = 20,
-         self_collision: bool = True):
+         self_collision: bool = True, backend: str = "pallas"):
     import jax
     import jax.numpy as jnp
 
@@ -52,7 +52,8 @@ def main(num_envs: int = 512, dim: int = 100, steps: int = 20,
     step_fn = jax.jit(jax.vmap(
         lambda s: solver_step(
             s, topo, params, substeps=4, iterations=30,
-            self_collision=self_collision, spring_mode="gs"),
+            self_collision=self_collision, spring_mode="gs",
+            contact_iterations=8, contact_every=2, backend=backend),
     ))
 
     # compile + warmup

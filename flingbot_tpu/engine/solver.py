@@ -282,18 +282,23 @@ def _substep(P, V, w, moving_mask, params, dt, iterations, solve_fn,
 
 def _run_substeps(P, V, w, moving_mask, params, substeps, iterations,
                   solve_fn, contact_fn, picker_pos, picker_radius,
-                  normals_fn=None):
+                  normals_fn=None, contact_every=1):
     dt = params.dt / substeps
 
-    def one(carry, _):
+    def one(i, carry):
         P, V = carry
+        cf = contact_fn
+        if contact_fn is not None and contact_every > 1:
+            cf = lambda Px, prev: jax.lax.cond(
+                i % contact_every == 0, contact_fn,
+                lambda q, _p: q, Px, prev)
         P, V = _substep(P, V, w, moving_mask, params, dt, iterations,
-                        solve_fn, contact_fn, normals_fn)
+                        solve_fn, cf, normals_fn)
         P = solve_picker_spheres(P, picker_pos, picker_radius, params,
                                  moving_mask)
-        return (P, V), None
+        return (P, V)
 
-    (P, V), _ = jax.lax.scan(one, (P, V), None, length=substeps)
+    P, V = jax.lax.fori_loop(0, substeps, one, (P, V))
     return P, V
 
 
@@ -308,6 +313,7 @@ def step(
     spring_mode: str = "gs",
     contact_mode: str = "block",
     contact_iterations: int = 8,
+    contact_every: int = 1,
     resort_interval: int = 4,
     picker_radius: float = 0.02,
     backend: str = "xla",
@@ -325,12 +331,13 @@ def step(
     if isinstance(topo, GridTopology):
         return _step_grid(
             state, topo, params, substeps, iterations, self_collision,
-            spring_mode, contact_mode, contact_iterations, resort_interval,
-            picker_radius, backend, pallas_interpret, aero,
+            spring_mode, contact_mode, contact_iterations, contact_every,
+            resort_interval, picker_radius, backend, pallas_interpret, aero,
         )
     return _step_mesh(
         state, topo, params, substeps, iterations, self_collision,
-        contact_mode, contact_iterations, resort_interval, picker_radius,
+        contact_mode, contact_iterations, contact_every, resort_interval,
+        picker_radius,
     )
 
 
@@ -356,7 +363,7 @@ def _cached_sweep_order(state, flatP, participate, radius, resort_interval):
 
 def _run_substeps_pallas(P, V, w, valid, moving, params, topo, substeps,
                          iterations, contact_fn, picker_pos, picker_radius,
-                         interpret):
+                         interpret, contact_every=1):
     """Pallas-backed substeps: integrate + springs + plane run inside the
     VMEM-resident kernel; contacts / finalize / picker spheres outside."""
     from flingbot_tpu.engine.pallas_kernels import pallas_substep, pack_params
@@ -365,7 +372,7 @@ def _run_substeps_pallas(P, V, w, valid, moving, params, topo, substeps,
     pvec = pack_params(params, topo).at[0].set(dt)
     mm = moving[None]
 
-    def one(carry, _):
+    def one(i, carry):
         P, V = carry
         prev = P
         Pn, Vp = pallas_substep(
@@ -373,19 +380,25 @@ def _run_substeps_pallas(P, V, w, valid, moving, params, topo, substeps,
             iterations=iterations, interpret=interpret)
         P, V = Pn[0], Vp[0]
         if contact_fn is not None:
-            P = contact_fn(P, prev)
-            P = solve_plane(P, prev, params, moving)
+            def with_contacts(Px):
+                Px = contact_fn(Px, prev)
+                return solve_plane(Px, prev, params, moving)
+            if contact_every > 1:
+                P = jax.lax.cond(
+                    i % contact_every == 0, with_contacts, lambda q: q, P)
+            else:
+                P = with_contacts(P)
         V = jnp.where(mm, (P - prev) / dt, V)
         P = solve_picker_spheres(P, picker_pos, picker_radius, params,
                                  moving)
-        return (P, V), None
+        return (P, V)
 
-    (P, V), _ = jax.lax.scan(one, (P, V), None, length=substeps)
+    P, V = jax.lax.fori_loop(0, substeps, one, (P, V))
     return P, V
 
 
 def _step_grid(state, topo, params, substeps, iterations, self_collision,
-               spring_mode, contact_mode, contact_iterations,
+               spring_mode, contact_mode, contact_iterations, contact_every,
                resort_interval, picker_radius,
                backend="xla", pallas_interpret=False, aero=False):
     Pl, valid = gather_to_lattice(state.positions, topo)  # (3, H, W)
@@ -426,6 +439,7 @@ def _step_grid(state, topo, params, substeps, iterations, self_collision,
         Pl, Vl = _run_substeps_pallas(
             Pl, Vl, wl, valid, moving, params, topo, substeps, iterations,
             contact_fn, state.picker_pos, picker_radius, pallas_interpret,
+            contact_every,
         )
     else:
         solve_fn = lambda P: solve_springs_grid(
@@ -439,6 +453,7 @@ def _step_grid(state, topo, params, substeps, iterations, self_collision,
         Pl, Vl = _run_substeps(
             Pl, Vl, wl, moving, params, substeps, iterations, solve_fn,
             contact_fn, state.picker_pos, picker_radius, normals_fn,
+            contact_every,
         )
 
     positions = scatter_from_lattice(Pl, state.positions, topo)
@@ -453,8 +468,8 @@ def _step_grid(state, topo, params, substeps, iterations, self_collision,
 
 
 def _step_mesh(state, topo, params, substeps, iterations, self_collision,
-               contact_mode, contact_iterations, resort_interval,
-               picker_radius):
+               contact_mode, contact_iterations, contact_every,
+               resort_interval, picker_radius):
     P = state.positions.T  # (3, N)
     V = state.velocities.T
     w = jnp.where(state.active, state.inv_mass, 0.0)
@@ -490,7 +505,7 @@ def _step_mesh(state, topo, params, substeps, iterations, self_collision,
                                              params.relaxation_factor)
     P, V = _run_substeps(
         P, V, w, moving, params, substeps, iterations, solve_fn,
-        contact_fn, state.picker_pos, picker_radius,
+        contact_fn, state.picker_pos, picker_radius, None, contact_every,
     )
     return state.replace(
         positions=P.T, velocities=V.T, time=state.time + params.dt,

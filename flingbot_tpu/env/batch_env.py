@@ -68,6 +68,10 @@ class BatchSimEnv:
         render_dim: int = 400,
         self_collision: bool = True,
         spring_mode: str = "gs",
+        contact_every: int = 1,
+        backend: str = "xla",
+        substeps: int = 4,
+        iterations: int = 30,
         max_grid_dim: int = 104,
         sharding=None,
         **_unused,
@@ -97,7 +101,9 @@ class BatchSimEnv:
             pix_place_dist=pix_place_dist,
         )
         self.sim_kw = dict(
-            self_collision=self_collision, spring_mode=spring_mode)
+            self_collision=self_collision, spring_mode=spring_mode,
+            contact_every=contact_every, backend=backend,
+            substeps=substeps, iterations=iterations)
         self.max_grid_dim = max_grid_dim
         self.prim_cfg = PrimitiveConfig(
             grasp_height=grasp_height,

@@ -298,6 +298,8 @@ def run_program(
     iterations: int = 30,
     self_collision: bool = True,
     spring_mode: str = "gs",
+    contact_every: int = 1,
+    backend: str = "xla",
 ):
     """Execute a primitive program; returns (state, terminate_flag)."""
     num_instr = program.num_instructions
@@ -439,7 +441,8 @@ def run_program(
             s = picker_step(s, action, dt=params.dt)
             return solver_step(
                 s, topo, params, substeps=substeps, iterations=iterations,
-                self_collision=self_collision, spring_mode=spring_mode)
+                self_collision=self_collision, spring_mode=spring_mode,
+                contact_every=contact_every, backend=backend)
 
         st = jax.lax.cond(is_jump_kind, lambda s: s, do_sim, st)
 
@@ -482,7 +485,7 @@ def run_program(
     jax.jit,
     static_argnames=(
         "primitive", "cfg", "substeps", "iterations", "self_collision",
-        "spring_mode",
+        "spring_mode", "contact_every", "backend",
     ),
 )
 def execute_primitive(
@@ -499,6 +502,8 @@ def execute_primitive(
     iterations: int = 30,
     self_collision: bool = True,
     spring_mode: str = "gs",
+    contact_every: int = 1,
+    backend: str = "xla",
 ):
     """Build + run one primitive program.  Returns (state, terminated)."""
     prog, init_fh = PROGRAM_BUILDERS[primitive](
@@ -508,5 +513,6 @@ def execute_primitive(
         state, topo, params, prog, dist, init_fh,
         max_steps=cfg.max_program_steps, substeps=substeps,
         iterations=iterations, self_collision=self_collision,
-        spring_mode=spring_mode,
+        spring_mode=spring_mode, contact_every=contact_every,
+        backend=backend,
     )

@@ -44,7 +44,8 @@ STABLE_MAX_STEPS = 300
 
 
 def _stabilize(state, topo, params, *, substeps, iterations, self_collision,
-               spring_mode, max_steps=STABLE_MAX_STEPS, tol=STABLE_TOL):
+               spring_mode, contact_every=1, backend="xla",
+               max_steps=STABLE_MAX_STEPS, tol=STABLE_TOL):
     """wait_until_stable as a bounded while_loop (flex_utils.py:430-441)."""
 
     def vmax(st):
@@ -59,7 +60,8 @@ def _stabilize(state, topo, params, *, substeps, iterations, self_collision,
         st, k = c
         st = solver_step(st, topo, params, substeps=substeps,
                          iterations=iterations, self_collision=self_collision,
-                         spring_mode=spring_mode)
+                         spring_mode=spring_mode,
+                         contact_every=contact_every, backend=backend)
         return st, k + 1
 
     state, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
@@ -70,7 +72,8 @@ def _stabilize(state, topo, params, *, substeps, iterations, self_collision,
     jax.jit,
     static_argnames=("primitives", "prim_cfg", "pix_grasp_dist",
                      "pix_drag_dist", "pix_place_dist", "substeps",
-                     "iterations", "self_collision", "spring_mode"),
+                     "iterations", "self_collision", "spring_mode",
+                     "contact_every", "backend"),
 )
 def step_core(
     state,
@@ -88,6 +91,8 @@ def step_core(
     iterations: int = 30,
     self_collision: bool = True,
     spring_mode: str = "gs",
+    contact_every: int = 1,
+    backend: str = "xla",
 ):
     """Device-side env step: action -> primitive -> stabilize -> reward."""
     sel = select_action(
@@ -99,7 +104,8 @@ def step_core(
     pre_cov = get_current_covered_area(state.positions, state.active)
 
     sim_kw = dict(substeps=substeps, iterations=iterations,
-                  self_collision=self_collision, spring_mode=spring_mode)
+                  self_collision=self_collision, spring_mode=spring_mode,
+                  contact_every=contact_every, backend=backend)
 
     def make_branch(prim_name):
         def branch(st):
@@ -164,6 +170,10 @@ class SimEnv:
         dump_visualizations: bool = False,
         self_collision: bool = True,
         spring_mode: str = "gs",
+        contact_every: int = 1,
+        backend: str = "xla",
+        substeps: int = 4,
+        iterations: int = 30,
         max_grid_dim: int = 104,
         mesh_caps=None,
         **_unused,
@@ -195,6 +205,10 @@ class SimEnv:
         self.dump_visualizations = dump_visualizations
         self.self_collision = self_collision
         self.spring_mode = spring_mode
+        self.contact_every = contact_every
+        self.backend = backend
+        self.substeps = substeps
+        self.iterations = iterations
         self.max_grid_dim = max_grid_dim
         self.mesh_caps = mesh_caps
         self.prim_cfg = PrimitiveConfig(
@@ -247,7 +261,9 @@ class SimEnv:
             picker_pos=jnp.asarray(PARK_PICKERS))
         self.state = solver_step(
             self.state, self.topo, self.params,
-            self_collision=self.self_collision, spring_mode=self.spring_mode)
+            substeps=self.substeps, iterations=self.iterations,
+            self_collision=self.self_collision, spring_mode=self.spring_mode,
+            contact_every=self.contact_every, backend=self.backend)
         self.init_coverage = float(get_current_covered_area(
             self.state.positions, self.state.active))
         self.obs = self._observe()
@@ -279,8 +295,12 @@ class SimEnv:
             pix_grasp_dist=self.pix_grasp_dist,
             pix_drag_dist=self.pix_drag_dist,
             pix_place_dist=self.pix_place_dist,
+            substeps=self.substeps,
+            iterations=self.iterations,
             self_collision=self.self_collision,
             spring_mode=self.spring_mode,
+            contact_every=self.contact_every,
+            backend=self.backend,
         )
         self.state = new_state
         self._log_step(sel, vm, float(pre_cov), float(post_cov))
