@@ -1,0 +1,136 @@
+"""Quality evaluation: coverage after K flings on a task set.
+
+The reference's headline capability number is >80% coverage within 3 fling
+actions with a trained policy (reference README.md:21,29).  This harness
+measures coverage@K for:
+  - a loaded checkpoint (--load ckpt.pth)
+  - the 'heuristic' policy: value peaks at cloth pixels far from the cloth
+    centroid (grasp the far edge) — a strong hand-coded baseline
+  - 'random' value maps
+
+Usage:
+  python eval_quality.py --tasks eval.hdf5 --policy heuristic --steps 3
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/jaxcache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def heuristic_value_maps(obs_stack: np.ndarray) -> np.ndarray:
+    """(B, T, 4, D, D) obs -> (B, 1, T, D, D) values.
+
+    Cloth pixels score by distance from the cloth centroid (prefer grasping
+    the far edge of the cloth); background pixels score -1."""
+    depth = obs_stack[:, :, 3]  # (B, T, D, D)
+    cloth = depth < 1.995
+    B, T, D, _ = depth.shape
+    ys = np.arange(D)[None, None, :, None]
+    xs = np.arange(D)[None, None, None, :]
+    denom = np.maximum(cloth.sum(axis=(2, 3), keepdims=True), 1)
+    cy = (cloth * ys).sum(axis=(2, 3), keepdims=True) / denom
+    cx = (cloth * xs).sum(axis=(2, 3), keepdims=True) / denom
+    dist = np.sqrt((ys - cy) ** 2 + (xs - cx) ** 2) / D
+    vm = np.where(cloth, dist, -1.0)
+    return vm[:, None].astype(np.float32)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--tasks", required=True)
+    p.add_argument("--policy", default="heuristic",
+                   choices=["heuristic", "random", "ckpt"])
+    p.add_argument("--load", default=None)
+    p.add_argument("--steps", type=int, default=3)
+    p.add_argument("--num_envs", type=int, default=8)
+    p.add_argument("--num_rotations", type=int, default=6)
+    p.add_argument("--scale_factors", nargs="+", type=float,
+                   default=[1.0, 1.5, 2.0])
+    p.add_argument("--render_dim", type=int, default=256)
+    p.add_argument("--max_grid_dim", type=int, default=104)
+    p.add_argument("--episodes", type=int, default=None,
+                   help="total episodes (default: one pass over the tasks)")
+    p.add_argument("--backend", default="xla")
+    p.add_argument("--substeps", type=int, default=4)
+    p.add_argument("--iterations", type=int, default=30)
+    p.add_argument("--contact_every", type=int, default=2)
+    args = p.parse_args()
+
+    from flingbot_tpu.env.batch_env import BatchSimEnv
+    from flingbot_tpu.env.tasks import TaskLoader
+
+    import tempfile
+
+    replay = tempfile.mktemp(suffix=".hdf5")
+    loader = TaskLoader(args.tasks, repeat=True)
+    env = BatchSimEnv(
+        get_task_fn=loader.get_next_task,
+        replay_buffer_path=replay,
+        num_envs=args.num_envs,
+        obs_dim=64,
+        num_rotations=args.num_rotations,
+        scale_factors=args.scale_factors,
+        action_primitives=["fling"],
+        episode_length=args.steps,
+        render_dim=args.render_dim,
+        max_grid_dim=args.max_grid_dim,
+        backend=args.backend,
+        substeps=args.substeps,
+        iterations=args.iterations,
+        contact_every=args.contact_every,
+    )
+    policy = None
+    if args.policy == "ckpt":
+        from flingbot_tpu.learning.nets import MaximumValuePolicy
+        from flingbot_tpu.utils.checkpoint import load_checkpoint
+
+        policy = MaximumValuePolicy(
+            action_primitives=["fling"],
+            num_rotations=args.num_rotations,
+            scale_factors=args.scale_factors, obs_dim=64)
+        load_checkpoint(args.load, policy)
+
+    target = args.episodes or len(loader)
+    obs = env.reset()
+    rng = np.random.default_rng(0)
+    import time
+
+    t0 = time.time()
+    while env.episodes_done < target:
+        o = np.asarray(obs)
+        if args.policy == "heuristic":
+            vm = heuristic_value_maps(o)
+        elif args.policy == "random":
+            vm = rng.uniform(size=(o.shape[0], 1, o.shape[1], 64, 64)
+                             ).astype(np.float32)
+        else:
+            vm = np.asarray(policy.batch_value_maps(obs))
+        obs = env.step(vm)
+        print(f"[eval] episodes {env.episodes_done}/{target} "
+              f"({time.time() - t0:.0f}s)", flush=True)
+
+    from flingbot_tpu.utils.stats import collect_stats
+
+    stats = collect_stats(replay, num_points=10 ** 9) or {}
+    out = {"episodes": env.episodes_done,
+           "seconds": round(time.time() - t0, 1)}
+    for k in ("final_coverage/hard/mean", "final_coverage/hard/max",
+              "init_coverage/hard/mean", "episode_delta_coverage/hard/mean",
+              "delta_coverage/hard/percent_positive",
+              "final_coverage/easy/mean"):
+        if k in stats:
+            out[k] = round(float(stats[k]), 4)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

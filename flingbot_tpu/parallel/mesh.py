@@ -86,3 +86,25 @@ def make_dp_train_step(net, tx, mesh: Mesh, axis: str = DP_AXIS):
         out_specs=(rep, rep, rep, rep),
     )
     return jax.jit(fn)
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None):
+    """Multi-host initialization (DCN) — jax.distributed over pod slices.
+
+    Single-slice training needs nothing (ICI collectives only); call this
+    once per host before make_mesh when scaling past one slice.  Mirrors
+    the SURVEY §2.3 disposition: DCN only if multi-slice."""
+    import jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+
+
+def make_env_sharding(mesh: Mesh, axis: str = DP_AXIS) -> NamedSharding:
+    """Sharding for BatchSimEnv state pytrees (leading env axis over dp)."""
+    return NamedSharding(mesh, P(axis))
