@@ -37,6 +37,7 @@ class _Sim:
     render_dim = 720
     step_fn = None
     sphere_count = 0
+    n_particles = 0
 
 
 _sim = _Sim()
@@ -73,6 +74,13 @@ def set_scene_config(config, state=None):
     _sim.state = _sim.scene.state
     _sim.sphere_count = 0
     topo = _sim.scene.topo
+    # logical particle count (the padded capacity stays internal)
+    mesh_verts = np.asarray(config.get("mesh_verts", ()), np.float64)
+    if mesh_verts.size:
+        _sim.n_particles = mesh_verts.reshape(-1, 3).shape[0]
+    else:
+        _sim.n_particles = int(config["cloth_size"][0]) * int(
+            config["cloth_size"][1])
     _sim.step_fn = jax.jit(
         lambda s: _solver_step(s, topo, _sim.params))
 
@@ -93,23 +101,33 @@ def render():
 
 
 def get_positions():
-    return np.asarray(_sim.state.get_positions())
+    n = _sim.n_particles
+    return np.asarray(_sim.state.get_positions())[: n * 4]
 
 
 def set_positions(flat):
-    _sim.state = _sim.state.set_positions(np.asarray(flat))
+    arr = np.asarray(flat, np.float32).reshape(-1, 4)
+    pos = np.array(_sim.state.positions)
+    im = np.array(_sim.state.inv_mass)
+    pos[: arr.shape[0]] = arr[:, :3]
+    im[: arr.shape[0]] = arr[:, 3]
+    _sim.state = _sim.state.replace(
+        positions=pos, inv_mass=im)
 
 
 def get_velocities():
-    return np.asarray(_sim.state.get_velocities())
+    return np.asarray(_sim.state.get_velocities())[: _sim.n_particles * 3]
 
 
 def set_velocities(flat):
-    _sim.state = _sim.state.set_velocities(np.asarray(flat))
+    arr = np.asarray(flat, np.float32).reshape(-1, 3)
+    vel = np.array(_sim.state.velocities)
+    vel[: arr.shape[0]] = arr
+    _sim.state = _sim.state.replace(velocities=vel)
 
 
 def get_phases():
-    return np.zeros(_sim.state.num_particles, np.int32)
+    return np.zeros(_sim.n_particles, np.int32)
 
 
 def set_phases(phases):
