@@ -1,0 +1,78 @@
+"""Dense masked-argmax action selection vs the reference's sequential scan
+semantics (simEnv.py:560-661): highest-valued VALID action wins."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from flingbot_tpu.engine.topology import grid_positions
+from flingbot_tpu.env.action import select_action
+from flingbot_tpu.env.observation import compute_observation
+
+
+def make_obs(dim=24, height=0.005, image_size=128, adaptive=False):
+    pos = grid_positions(dim, dim, lower=(0.0, height, 0.0))
+    pos[:, [0, 2]] -= pos[:, [0, 2]].mean(axis=0)
+    active = jnp.ones(dim * dim, bool)
+    rotations = jnp.asarray([0.0, 90.0])
+    scales = jnp.asarray([1.0, 2.0])
+    return compute_observation(
+        jnp.asarray(pos), active, rotations, scales,
+        image_size=image_size, obs_dim=64,
+        use_adaptive_scaling=adaptive), rotations
+
+
+class TestSelectAction:
+    def test_picks_global_max_when_valid(self):
+        obs, rotations = make_obs()
+        vm = np.zeros((1, 4, 64, 64), np.float32)
+        vm[0, 1, 32, 32] = 5.0  # center pixel, transform 1 — always valid
+        sel = select_action(jnp.asarray(vm), obs, rotations)
+        assert bool(sel.valid)
+        assert int(sel.transform_idx) == 1
+        assert (int(sel.row), int(sel.col)) == (32, 32)
+        assert float(sel.value) == 5.0
+        # rotation/scale decode: t=1 -> rotation idx 0, scale idx 1
+        assert float(sel.rotation) == 0.0
+        assert float(sel.scale) == 2.0
+
+    def test_edge_crop_invalidates_border(self):
+        obs, rotations = make_obs()
+        vm = np.zeros((1, 4, 64, 64), np.float32)
+        vm[0, 0, 2, 32] = 9.0  # inside the pix_grasp_dist=8 crop band
+        vm[0, 0, 32, 32] = 1.0  # valid fallback
+        sel = select_action(jnp.asarray(vm), obs, rotations)
+        assert bool(sel.valid)
+        assert (int(sel.row), int(sel.col)) == (32, 32)
+
+    def test_grasp_flags_on_cloth(self):
+        # without adaptive scaling a small cloth cannot fit both grasp
+        # points (the +-8 px spread covers ~0.36 m at scale 1.0) — exactly
+        # the problem adaptive scaling solves (simEnv.py:719-732)
+        obs, rotations = make_obs(adaptive=True)
+        assert float(obs.adaptive_ratio) < 1.0
+        vm = np.zeros((1, 4, 64, 64), np.float32)
+        vm[0, 0, 32, 32] = 1.0  # cloth center at the zoomed-in scale
+        sel = select_action(jnp.asarray(vm), obs, rotations)
+        assert bool(sel.p1_grasp) and bool(sel.p2_grasp)
+        # 3D points straddle the selected pixel on the cloth plane
+        p1 = np.asarray(sel.p1_world)
+        p2 = np.asarray(sel.p2_world)
+        assert abs(p1[1] - 0.005) < 0.02 and abs(p2[1] - 0.005) < 0.02
+        assert np.linalg.norm(p1 - p2) > 0.01
+
+    def test_off_cloth_pixel_has_no_grasp(self):
+        obs, rotations = make_obs(dim=10)  # tiny cloth, mostly background
+        vm = np.zeros((1, 4, 64, 64), np.float32)
+        vm[0, 0, 10, 10] = 3.0  # corner: transformed pixel off the cloth
+        sel = select_action(jnp.asarray(vm), obs, rotations)
+        if bool(sel.valid):
+            assert not (bool(sel.p1_grasp) and bool(sel.p2_grasp))
+
+    def test_action_mask_one_hot(self):
+        obs, rotations = make_obs()
+        vm = np.random.default_rng(0).uniform(
+            size=(1, 4, 64, 64)).astype(np.float32)
+        sel = select_action(jnp.asarray(vm), obs, rotations)
+        m = np.asarray(sel.action_mask)
+        assert m.sum() == 1.0
+        assert m[int(sel.row), int(sel.col)] == 1.0
