@@ -188,6 +188,35 @@ def solve_springs_grid(P, w, valid, topo: GridTopology, relax, mode: str):
     return P
 
 
+CHEBYSHEV_RHO = 0.992  # spectral-radius estimate (Wang 2015 suggests ~0.99)
+CHEBYSHEV_DELAY = 2  # plain Jacobi warm-up iterations
+
+
+def _chebyshev_loop(P, iterate_fn, iterations: int, plane_fn):
+    """Chebyshev semi-iterative acceleration of a Jacobi-style iteration
+    (Descent/Chebyshev PBD, Wang 2015): matches FleX's Jacobi + local
+    relaxation semantics but converges like Gauss-Seidel.
+
+        P_{k+1} = omega * (iterate(P_k) - P_{k-1}) + P_{k-1}
+    """
+    rho2 = CHEBYSHEV_RHO * CHEBYSHEV_RHO
+
+    def body(k, carry):
+        P, P_prev, omega = carry
+        P_next = plane_fn(iterate_fn(P))
+        omega = jnp.where(
+            k < CHEBYSHEV_DELAY, 1.0,
+            jnp.where(k == CHEBYSHEV_DELAY, 2.0 / (2.0 - rho2),
+                      4.0 / (4.0 - rho2 * omega)))
+        P_acc = omega * (P_next - P_prev) + P_prev
+        P_acc = jnp.where(k < CHEBYSHEV_DELAY, P_next, P_acc)
+        return (P_acc, P, omega)
+
+    P_out, _, _ = jax.lax.fori_loop(
+        0, iterations, body, (P, P, jnp.float32(1.0)))
+    return P_out
+
+
 def solve_springs_mesh(P, w, topo: MeshTopology, relax):
     """Jacobi + local relaxation over padded edge arrays (shirt path).
     P: (3, N)."""
@@ -265,12 +294,17 @@ def _substep(P, V, w, moving_mask, params, dt, iterations, solve_fn,
     prev = P
     P = jnp.where(mm, P + dt * V, P)
 
-    def body(_, P):
-        P = solve_fn(P)
-        P = solve_plane(P, prev, params, moving_mask)
-        return P
+    if getattr(solve_fn, "chebyshev", False):
+        P = _chebyshev_loop(
+            P, solve_fn, iterations,
+            lambda Q: solve_plane(Q, prev, params, moving_mask))
+    else:
+        def body(_, P):
+            P = solve_fn(P)
+            P = solve_plane(P, prev, params, moving_mask)
+            return P
 
-    P = jax.lax.fori_loop(0, iterations, body, P, unroll=False)
+        P = jax.lax.fori_loop(0, iterations, body, P, unroll=False)
     # contacts once per substep from the per-step neighbor structure
     if contact_fn is not None:
         P = contact_fn(P, prev)
@@ -503,6 +537,7 @@ def _step_mesh(state, topo, params, substeps, iterations, self_collision,
 
     solve_fn = lambda Px: solve_springs_mesh(Px, w, topo,
                                              params.relaxation_factor)
+    solve_fn.chebyshev = False
     P, V = _run_substeps(
         P, V, w, moving, params, substeps, iterations, solve_fn,
         contact_fn, state.picker_pos, picker_radius, None, contact_every,

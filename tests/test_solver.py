@@ -129,6 +129,28 @@ class TestGridVsMeshPath:
             atol=2e-5,
         )
 
+    def test_chebyshev_matches_gs_convergence(self):
+        """Chebyshev-accelerated Jacobi (Wang 2015) keeps FleX's
+        Jacobi+local-relaxation semantics but converges like GS."""
+        state = make_grid_state(height=0.5)
+        topo = make_grid_topo()
+        inv_mass = state.inv_mass.at[0].set(0.0)
+        state = state.replace(inv_mass=inv_mass, rest_inv_mass=inv_mass)
+
+        def max_stretch(mode):
+            s = run_steps(state, topo, 60, self_collision=False,
+                          spring_mode=mode)
+            p = np.asarray(s.positions)
+            edges, _, cls = grid_spring_edges(DIM, DIM)
+            e = edges[cls == 0]
+            return np.linalg.norm(p[e[:, 0]] - p[e[:, 1]], axis=1).max()
+
+        cheb = max_stretch("chebyshev")
+        gs = max_stretch("gs")
+        jac = max_stretch("jacobi")
+        assert cheb < jac * 0.9  # dramatically stiffer than plain Jacobi
+        assert cheb < gs * 1.05  # and on par with Gauss-Seidel
+
     def test_gs_is_stiffer_than_jacobi(self):
         state = make_grid_state(height=0.5)
         topo = make_grid_topo()
