@@ -68,8 +68,13 @@ def config_parser(parser: ArgumentParser = None) -> ArgumentParser:
     parser.add_argument("--render_dim", type=int, default=400)
     parser.add_argument("--episode_length", type=int, default=10)
     # TPU-native physics/runtime knobs
-    parser.add_argument("--spring_mode", choices=["gs", "jacobi"],
-                        default="gs")
+    parser.add_argument("--spring_mode",
+                        choices=["gs", "jacobi", "chebyshev"], default="gs")
+    parser.add_argument("--backend", choices=["xla", "pallas"],
+                        default="xla")
+    parser.add_argument("--substeps", type=int, default=4)
+    parser.add_argument("--iterations", type=int, default=30)
+    parser.add_argument("--contact_every", type=int, default=1)
     parser.add_argument("--no_self_collision", action="store_true",
                         default=False)
     parser.add_argument("--max_grid_dim", type=int, default=104)

@@ -18,6 +18,17 @@ import pickle
 
 import numpy as np
 
+try:  # persistent compile cache (slow remote compiles on the axon tunnel)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     os.path.expanduser("~/.flingbot_jaxcache")))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
+
 from flingbot_tpu.env.batch_env import BatchSimEnv
 from flingbot_tpu.env.tasks import TaskLoader
 from flingbot_tpu.learning.dataset import GraspDataset
