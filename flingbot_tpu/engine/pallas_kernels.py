@@ -49,7 +49,10 @@ def _shift(a, dy, dx):
 
 
 def _substep_kernel(param_ref, P_ref, V_ref, w_ref, out_P_ref, out_V_ref,
-                    *, H, W, iterations):
+                    *, H, W, E, iterations):
+    """Processes a block of E environments per program; arrays are laid out
+    component-leading (3, E, H, W) so every vector instruction works on
+    E * ceil(H/8) * ceil(W/128) tiles (amortizing issue overhead)."""
     dt = param_ref[0, 0]
     gravity_y = param_ref[0, 1]
     damping = param_ref[0, 2]
@@ -57,20 +60,26 @@ def _substep_kernel(param_ref, P_ref, V_ref, w_ref, out_P_ref, out_V_ref,
     coldist = param_ref[0, 4]
     relax = param_ref[0, 5]
     spacing = param_ref[0, 6]
-    stiffness = [param_ref[0, 7], param_ref[0, 8], param_ref[0, 9]]
-    dimx = param_ref[0, 10]
-    dimy = param_ref[0, 11]
+    # per-env fields within the block
+    stiffness = [
+        jnp.stack([param_ref[e, c] for e in range(E)]).reshape(E, 1, 1)
+        for c in (7, 8, 9)
+    ]
+    dimx = jnp.stack(
+        [param_ref[e, 10] for e in range(E)]).reshape(E, 1, 1)
+    dimy = jnp.stack(
+        [param_ref[e, 11] for e in range(E)]).reshape(E, 1, 1)
 
-    P = P_ref[0]  # (3, H, W)
-    V = V_ref[0]
-    w = w_ref[0]  # (H, W)
+    P = P_ref[:]  # (3, E, H, W)
+    V = V_ref[:]
+    w = w_ref[:]  # (E, H, W)
 
     # Mosaic iota must be integer-typed
-    iyi = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-    ixi = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    iyi = jax.lax.broadcasted_iota(jnp.int32, (1, H, W), 1)
+    ixi = jax.lax.broadcasted_iota(jnp.int32, (1, H, W), 2)
     dimx_i = dimx.astype(jnp.int32)
     dimy_i = dimy.astype(jnp.int32)
-    valid = (iyi < dimy_i) & (ixi < dimx_i)
+    valid = (iyi < dimy_i) & (ixi < dimx_i)  # (E, H, W)
 
     def nbr_valid(dy, dx):
         # validity of the (y+dy, x+dx) neighbor, computed from iota instead
@@ -84,7 +93,7 @@ def _substep_kernel(param_ref, P_ref, V_ref, w_ref, out_P_ref, out_V_ref,
     mm = moving[None]
 
     # integrate (no .at indexed update — Mosaic has no scatter)
-    V = jnp.stack([V[0], V[1] + dt * gravity_y, V[2]])
+    V = jnp.stack([V[0], V[1] + dt * gravity_y, V[2]])  # (3, E, H, W)
     V = V * jnp.maximum(0.0, 1.0 - damping * dt)
     V = jnp.where(mm, V, 0.0)
     prev = P
@@ -120,7 +129,7 @@ def _substep_kernel(param_ref, P_ref, V_ref, w_ref, out_P_ref, out_V_ref,
                 (iyi - dy >= 0) & (iyi - dy < H)
                 & (ixi - dx >= 0) & (ixi - dx < W)
             )
-            mB = back_ok.astype(P.dtype)
+            mB = jnp.broadcast_to(back_ok, coefA.shape).astype(P.dtype)
             phases.append((dy, dx, rest, coefA, coefB, mB))
 
     def spring_phase(P, phase):
@@ -158,8 +167,15 @@ def _substep_kernel(param_ref, P_ref, V_ref, w_ref, out_P_ref, out_V_ref,
     # self-collision contacts to P before computing V = (P - prev) / dt
     # (prev is the caller's input P).  V output is the predicted velocity.
 
-    out_P_ref[0] = P
-    out_V_ref[0] = V
+    out_P_ref[:] = P
+    out_V_ref[:] = V
+
+
+def _pick_env_block(B: int) -> int:
+    for e in (8, 4, 2):
+        if B % e == 0:
+            return e
+    return 1
 
 
 @functools.partial(
@@ -171,36 +187,40 @@ def pallas_substep(params_vec, P, V, w, iterations: int = 30,
     """One XPBD substep for a batch of grid-cloth envs.
 
     params_vec (B, PARAM_LEN) f32; P, V (B, 3, H, W); w (B, H, W).
-    Returns (P', V')."""
+    Returns (P', V').  Internally processes env blocks of up to 8 in a
+    component-leading (3, E, H, W) layout."""
     B, _, H, W = P.shape
-    kernel = functools.partial(_substep_kernel, H=H, W=W,
+    E = _pick_env_block(B)
+    kernel = functools.partial(_substep_kernel, H=H, W=W, E=E,
                                iterations=iterations)
+    Pt = jnp.swapaxes(P, 0, 1)  # (3, B, H, W)
+    Vt = jnp.swapaxes(V, 0, 1)
     out_P, out_V = pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(B // E,),
         in_specs=[
-            pl.BlockSpec((1, PARAM_LEN), lambda b: (b, 0),
+            pl.BlockSpec((E, PARAM_LEN), lambda b: (b, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 3, H, W), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((3, E, H, W), lambda b: (0, b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, H, W), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((3, E, H, W), lambda b: (0, b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
+            pl.BlockSpec((E, H, W), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 3, H, W), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((3, E, H, W), lambda b: (0, b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, H, W), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((3, E, H, W), lambda b: (0, b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct(P.shape, P.dtype),
-            jax.ShapeDtypeStruct(V.shape, V.dtype),
+            jax.ShapeDtypeStruct(Pt.shape, P.dtype),
+            jax.ShapeDtypeStruct(Vt.shape, V.dtype),
         ],
         interpret=interpret,
-    )(params_vec, P, V, w)
-    return out_P, out_V
+    )(params_vec, Pt, Vt, w)
+    return jnp.swapaxes(out_P, 0, 1), jnp.swapaxes(out_V, 0, 1)
 
 
 def pack_params(params, topo):
