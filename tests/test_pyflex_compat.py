@@ -1,8 +1,20 @@
 """pyflex_compat: the drop-in module-API shim over the TPU engine."""
 
 import numpy as np
+import pytest
 
 from flingbot_tpu import pyflex_compat as pyflex
+
+
+@pytest.fixture(autouse=True)
+def _scene():
+    """Each test gets a fresh scene (xdist workers share no module state)."""
+    pyflex.init(True, True, 128, 128)
+    params = np.array([
+        0.0, 0.005, 0.0, 12, 12, 0.9, 1.0, 0.9, 2,
+        0, 2, 0, np.pi / 2, -np.pi / 2, 0, 128, 128, 0.3, 0,
+    ], np.float32)
+    pyflex.set_scene(0, params, np.array([]))
 
 
 class TestPyflexCompat:
