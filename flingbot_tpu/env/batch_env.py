@@ -222,6 +222,8 @@ class BatchSimEnv:
             mem.add_value("action_primitive", prim)
             mem.add_value("max_indices", np.asarray(
                 [t, int(sel.row[i]), int(sel.col[i])]))
+            mem.add_value("pretransform_pixels",
+                          np.asarray(sel.pretransform_pixels[i]))
             for key, value in self.tasks[i].get_stats().items():
                 mem.add_value(key, value)
             self.timesteps[i] += 1

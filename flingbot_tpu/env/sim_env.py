@@ -337,6 +337,8 @@ class SimEnv:
         mem.add_value("action_primitive", prim)
         mem.add_value("max_indices", np.asarray(
             [t, int(sel.row), int(sel.col)]))
+        mem.add_value("pretransform_pixels",
+                      np.asarray(sel.pretransform_pixels))
         for key, value in self.current_task.get_stats().items():
             mem.add_value(key, value)
 

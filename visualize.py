@@ -62,7 +62,19 @@ def simple_visualize(path: str, output_dir: str = "vis", max_episodes=16):
                                ("next_observations", "after")):
                 if field in g:
                     img = np.asarray(g[field])[:3]  # (3, H, W) rgb
-                    img = np.transpose(img, (1, 2, 0))
+                    img = np.transpose(img, (1, 2, 0)).copy()
+                    if tag == "before" and "pretransform_pixels" in g:
+                        from flingbot_tpu.utils.vis import draw_action
+
+                        try:
+                            img = draw_action(
+                                img,
+                                str(g.attrs.get("action_primitive",
+                                                "fling")),
+                                np.asarray(g["pretransform_pixels"]),
+                                thickness=2)
+                        except Exception:
+                            pass
                     fn = f"{k}_{tag}.png"
                     if _save_png(os.path.join(output_dir, fn), img):
                         cells.append(
