@@ -134,3 +134,46 @@ class GraspDataset:
             np.stack(masks).astype(np.float32),
             np.asarray(rewards, np.float32),
         )
+
+
+class PrefetchLoader:
+    """Background-thread batch prefetcher — the TPU-side stand-in for the
+    reference's DataLoader(num_workers=...) (utils.py:171-176): batches are
+    assembled on a daemon thread while the device trains on the previous
+    one."""
+
+    def __init__(self, dataset: GraspDataset, batch_size: int,
+                 queue_depth: int = 2):
+        import queue
+        import threading
+
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self._q = queue.Queue(maxsize=queue_depth)
+        self._stop = False
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        while not self._stop:
+            batch = self.dataset.sample_batch(self.batch_size)
+            if batch is None:
+                self._stop = True
+                break
+            self._q.put(batch)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._stop and self._q.empty():
+            raise StopIteration
+        return self._q.get()
+
+    def close(self):
+        self._stop = True
+        try:
+            while True:
+                self._q.get_nowait()
+        except Exception:
+            pass

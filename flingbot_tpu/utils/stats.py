@@ -135,4 +135,22 @@ def collect_stats(
                 if ap in prim_counts:
                     retval[f"action_primitive/percent_{ap}"] = (
                         prim_counts[ap] / num_points)
+
+            # sample before/after image panel for dashboards
+            # (collect_stats img_before_after parity, utils.py:377-390)
+            import random as _random
+
+            for _ in range(3):
+                k = _random.choice(keys) if keys else None
+                if k is None:
+                    break
+                g = f[k]
+                if ("pretransform_observations" in g
+                        and "next_observations" in g):
+                    before = np.asarray(
+                        g["pretransform_observations"])[:3]
+                    after = np.asarray(g["next_observations"])[:3]
+                    retval["img_before_after"] = np.concatenate(
+                        [before, after], axis=2)  # (3, H, 2W)
+                    break
             return retval

@@ -152,6 +152,8 @@ def main():
                     continue
                 if "distribution" in key:
                     writer.add_histogram(key, value, global_step=dataset_size)
+                elif "img" in key:
+                    writer.add_image(key, value, global_step=dataset_size)
                 elif np.isscalar(value) or getattr(value, "ndim", 1) == 0:
                     writer.add_scalar(key, float(value),
                                       global_step=dataset_size)
