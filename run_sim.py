@@ -26,6 +26,10 @@ try:  # persistent compile cache (slow remote compiles on the axon tunnel)
                                      os.path.expanduser("~/.flingbot_jaxcache")))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # honor JAX_PLATFORMS even though sitecustomize may have imported jax
+    # before us (which freezes the env-var default)
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 except Exception:
     pass
 
@@ -167,7 +171,7 @@ def main():
     if args.eval:
         stats = collect_stats(dataset_path, num_points=10 ** 9) or {}
         for key, value in stats.items():
-            if "_steps" in key or "distribution" in key:
+            if "_steps" in key or "distribution" in key or "img" in key:
                 continue
             print(f"\t[{key:<42}]:\t{float(value):.04f}")
 
