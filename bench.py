@@ -52,8 +52,9 @@ def main(num_envs: int = 512, dim: int = 100, steps: int = 20,
     step_fn = jax.jit(jax.vmap(
         lambda s: solver_step(
             s, topo, params, substeps=4, iterations=30,
-            self_collision=self_collision, spring_mode="gs",
-            contact_iterations=8, contact_every=2, backend=backend),
+            self_collision=self_collision, spring_mode="chebyshev",
+            contact_iterations=8, contact_every=2, contact_window=16,
+            backend=backend),
     ))
 
     # compile + warmup

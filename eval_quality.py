@@ -60,9 +60,17 @@ def main():
     p.add_argument("--episodes", type=int, default=None,
                    help="total episodes (default: one pass over the tasks)")
     p.add_argument("--backend", default="xla")
+    p.add_argument("--spring_mode", default="gs",
+                   choices=["gs", "jacobi", "chebyshev"])
+    p.add_argument("--contact_mode", default="block",
+                   choices=["block", "sweep", "sort", "table"])
     p.add_argument("--substeps", type=int, default=4)
     p.add_argument("--iterations", type=int, default=30)
     p.add_argument("--contact_every", type=int, default=2)
+    from argparse import BooleanOptionalAction
+    p.add_argument("--domain_randomization", action=BooleanOptionalAction,
+                   default=True)
+    p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
     from flingbot_tpu.env.batch_env import BatchSimEnv
@@ -84,9 +92,13 @@ def main():
         render_dim=args.render_dim,
         max_grid_dim=args.max_grid_dim,
         backend=args.backend,
+        spring_mode=args.spring_mode,
+        contact_mode=args.contact_mode,
         substeps=args.substeps,
         iterations=args.iterations,
         contact_every=args.contact_every,
+        domain_randomization=args.domain_randomization,
+        seed=args.seed,
     )
     policy = None
     if args.policy == "ckpt":

@@ -186,6 +186,192 @@ def sweep_order(pos, active, cell_size):
     return perm, inv_perm
 
 
+# --------------------------------------------------------------------------
+# sort-based contact group (round-2 production path)
+# --------------------------------------------------------------------------
+#
+# Round 1 cached an argsort permutation and applied it with gathers; on TPU
+# a batched gather of (3, 10k) costs ~48 ms per direction at 512 envs while
+# a multi-operand jax.lax.sort costs ~11 ms TOTAL (the sort network carries
+# the payload with the keys).  So the round-2 contact group re-sorts fresh
+# every invocation: one forward sort carries positions, previous positions
+# and packed lattice ids into Morton order; the contact projection runs on
+# the sorted arrays (pallas kernel or the XLA reference below); one inverse
+# sort (keyed by the original flat index) restores lattice order.  No cached
+# permutation state, no stale orderings.
+
+INT32_BIG = jnp.int32(2 ** 30)
+
+
+def pack_lattice_ids(n: int, lattice_w: int, active, immobile):
+    """Per flat-lattice-slot packed id: lattice x (bits 0-7), lattice y
+    (bits 8-19), immobile flag (bit 20), inactive flag (bit 21)."""
+    from flingbot_tpu.engine.pallas_kernels import (
+        PACK_IMMOBILE_BIT, PACK_INACTIVE_BIT)
+
+    assert lattice_w <= 256, "packed lattice ids support max_dimx <= 256"
+    i = jnp.arange(n, dtype=jnp.int32)
+    iy = i // lattice_w
+    ix = i % lattice_w
+    return (ix | (iy << 8)
+            | (immobile.astype(jnp.int32) << PACK_IMMOBILE_BIT)
+            | ((~active).astype(jnp.int32) << PACK_INACTIVE_BIT))
+
+
+def _contacts_sorted_flat(params, rest_dist, X, Y, Z, PX, PY, PZ, packed,
+                          *, window, iterations):
+    """XLA reference of pallas_contacts on flat sorted (N,) arrays.
+    Semantically identical math (used for cross-checking and as the CPU
+    fallback); wraparound of jnp.roll is masked by in-range tests."""
+    from flingbot_tpu.engine.pallas_kernels import (
+        PACK_IMMOBILE_BIT, PACK_INACTIVE_BIT)
+
+    n = X.shape[0]
+    lat_x = packed & 0xFF
+    lat_y = (packed >> 8) & 0xFFF
+    immobile = ((packed >> PACK_IMMOBILE_BIT) & 1) > 0
+    inactive = ((packed >> PACK_INACTIVE_BIT) & 1) > 0
+    active = ~inactive
+    w = jnp.where(immobile | inactive, 0.0, 1.0)
+    ms = active & ~immobile
+    ms_f = ms.astype(X.dtype)
+    i = jnp.arange(n, dtype=jnp.int32)
+    mu_p = params.particle_friction * params.dynamic_friction
+
+    ks = list(range(1, window + 1))
+    static_k = []
+    for k in ks:
+        in_range = i < n - k
+        lat_xn = jnp.roll(lat_x, -k)
+        lat_yn = jnp.roll(lat_y, -k)
+        act_n = jnp.roll(active, -k)
+        nbr = (jnp.abs(lat_xn - lat_x) <= 1) & (jnp.abs(lat_yn - lat_y) <= 1)
+        ok = in_range & active & act_n & ~nbr
+        wn = jnp.roll(w, -k)
+        wsum = w + wn
+        ok = ok & (wsum > 0)
+        coef = jnp.where(ok, 1.0 / (wsum + _EPS), 0.0)
+        dpx = PX - jnp.roll(PX, -k)
+        dpy = PY - jnp.roll(PY, -k)
+        dpz = PZ - jnp.roll(PZ, -k)
+        static_k.append((ok, coef, wn, dpx, dpy, dpz))
+
+    def one_iter(_, carry):
+        X, Y, Z = carry
+        acc_x = jnp.zeros(n, X.dtype)
+        acc_y = jnp.zeros(n, X.dtype)
+        acc_z = jnp.zeros(n, X.dtype)
+        cnt = jnp.zeros(n, X.dtype)
+        for idx, k in enumerate(ks):
+            ok, coef, wn, dpx, dpy, dpz = static_k[idx]
+            d0 = X - jnp.roll(X, -k)
+            d1 = Y - jnp.roll(Y, -k)
+            d2 = Z - jnp.roll(Z, -k)
+            sq = d0 * d0 + d1 * d1 + d2 * d2 + _EPS
+            r = jax.lax.rsqrt(sq)
+            pen = rest_dist - sq * r
+            live = pen > 0
+            s = jnp.where(live, coef * pen * r, 0.0)
+            live_f = jnp.where(live & ok, 1.0, 0.0)
+            r0 = d0 - dpx
+            r1 = d1 - dpy
+            r2 = d2 - dpz
+            rel_n = (r0 * d0 + r1 * d1 + r2 * d2) * (r * r)
+            t0 = r0 - rel_n * d0
+            t1 = r1 - rel_n * d1
+            t2 = r2 - rel_n * d2
+            tn_r = jax.lax.rsqrt(t0 * t0 + t1 * t1 + t2 * t2 + _EPS)
+            fr = jnp.minimum(1.0, mu_p * jnp.maximum(pen, 0.0) * tn_r)
+            fsc = jnp.where(live, coef * fr, 0.0)
+            gx = s * d0 - fsc * t0
+            gy = s * d1 - fsc * t1
+            gz = s * d2 - fsc * t2
+            acc_x = acc_x + w * gx - jnp.roll(wn * gx, k)
+            acc_y = acc_y + w * gy - jnp.roll(wn * gy, k)
+            acc_z = acc_z + w * gz - jnp.roll(wn * gz, k)
+            cnt = cnt + live_f + jnp.roll(live_f, k)
+        inv_cnt = ms_f / jnp.maximum(cnt, 1.0)
+        X = X + acc_x * inv_cnt
+        Y = Y + acc_y * inv_cnt
+        Z = Z + acc_z * inv_cnt
+        pen = params.collision_distance - Y
+        contact_f = jnp.where(pen > 0, ms_f, 0.0)
+        dx_ = X - PX
+        dz_ = Z - PZ
+        t_norm = jnp.sqrt(dx_ * dx_ + dz_ * dz_ + _EPS)
+        f = contact_f * jnp.minimum(
+            1.0, params.dynamic_friction * jnp.maximum(pen, 0.0) / t_norm)
+        return (X - dx_ * f, Y + contact_f * pen, Z - dz_ * f)
+
+    return jax.lax.fori_loop(0, iterations, one_iter, (X, Y, Z))
+
+
+def contact_group(P, prev, w, active, params, *, rest_dist, lattice_w,
+                  window: int = 16, iterations: int = 8,
+                  backend: str = "pallas", interpret: bool = False):
+    """Full self-collision pass: Morton sort -> windowed pair projection
+    (with PBD Coulomb particle friction + ground plane, NvFlex.h:105-107,
+    165-166 semantics) -> inverse sort.
+
+    P, prev: (3, N) flat lattice layout; w: (N,); active: (N,) bool.
+    Returns P' (3, N).  Assumes uniform particle mass across the cloth
+    (true for all flingbot scenes: softgym_cloth.h:63 sets one mass);
+    grabbed particles (w == 0) are encoded immobile."""
+    n = P.shape[1]
+    cell = jnp.clip(
+        jnp.floor(P / rest_dist).astype(jnp.int32) + 512, 0, 1023)
+    keys = jnp.where(active, morton_code(cell), INT32_BIG)
+    immobile = w <= 0
+    packed = pack_lattice_ids(n, lattice_w, active, immobile)
+    _, xs, ys, zs, pxs, pys, pzs, pk = jax.lax.sort(
+        (keys, P[0], P[1], P[2], prev[0], prev[1], prev[2], packed),
+        dimension=0, num_keys=1)
+
+    if backend == "pallas":
+        from flingbot_tpu.engine.pallas_kernels import (
+            CONTACT_PARAM_LEN, pallas_contacts)
+
+        R = 16
+        C = -(-n // R)
+        pad = R * C - n
+        if pad:
+            fill = jnp.full(pad, jnp.int32(1 << 21))
+            pk_p = jnp.concatenate([pk, fill])
+            zf = jnp.zeros(pad, xs.dtype)
+            xs_p, ys_p, zs_p, pxs_p, pys_p, pzs_p = (
+                jnp.concatenate([a, zf]) for a in (xs, ys, zs, pxs, pys, pzs))
+        else:
+            pk_p, xs_p, ys_p, zs_p, pxs_p, pys_p, pzs_p = (
+                pk, xs, ys, zs, pxs, pys, pzs)
+        pv = jnp.stack([
+            jnp.asarray(rest_dist, jnp.float32),
+            jnp.float32(1.0),  # uniform w scale (ratios only)
+            params.particle_friction * params.dynamic_friction,
+            params.dynamic_friction,
+            params.collision_distance,
+            jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
+        ])
+        shaped = [a.reshape(R, C) for a in
+                  (xs_p, ys_p, zs_p, pxs_p, pys_p, pzs_p)]
+        ox, oy, oz = pallas_contacts(
+            pv[None], shaped[0][None], shaped[1][None], shaped[2][None],
+            shaped[3][None], shaped[4][None], shaped[5][None],
+            pk_p.reshape(R, C)[None],
+            window=window, iterations=iterations, interpret=interpret)
+        ox = ox[0].reshape(-1)[:n]
+        oy = oy[0].reshape(-1)[:n]
+        oz = oz[0].reshape(-1)[:n]
+    else:
+        ox, oy, oz = _contacts_sorted_flat(
+            params, rest_dist, xs, ys, zs, pxs, pys, pzs, pk,
+            window=window, iterations=iterations)
+
+    key_inv = ((pk >> 8) & 0xFFF) * lattice_w + (pk & 0xFF)
+    _, rx, ry, rz = jax.lax.sort((key_inv, ox, oy, oz), dimension=0,
+                                 num_keys=1)
+    return jnp.stack([rx, ry, rz])
+
+
 def solve_contacts_sweep(
     P, w, moving_mask, perm, inv_perm, params, *, rest_dist,
     window: int = SWEEP_WINDOW, iterations: int = 8,

@@ -1,16 +1,12 @@
 """Pallas TPU kernels for the XPBD hot loop.
 
-The XLA path in solver.py materializes the lattice between constraint
-phases; this kernel keeps one environment's whole substep — integrate,
-`iterations` x (6 stencil spring classes x 2 GS colors + ground plane with
-Coulomb friction), velocity finalize — resident in VMEM, reading and
-writing HBM exactly once per substep.  Per-env state is ~350 KB, far under
-the ~16 MB VMEM budget; the pallas grid runs one program per environment.
-
-Everything numeric matches solver.py's stencil formulation (see
-solve_springs_grid / solve_plane there for the NvFlex parameter semantics
-and reference citations); tests cross-check the two paths bit-for-bit-ish
-(float tolerance).
+Two VMEM-resident kernels implement the whole physics tick (see the
+"Round-2 fused kernels" banner below for the design rationale):
+`pallas_substeps` (N substeps of Chebyshev-Jacobi spring projection +
+ground plane + picker spheres + velocity finalize per launch) and
+`pallas_contacts` (self-collision on Morton-sorted arrays).  Everything
+numeric matches solver.py's XLA formulation (spring_mode="chebyshev" /
+contact_mode="sort"), which tests cross-check in interpret mode.
 """
 
 from __future__ import annotations
@@ -26,19 +22,13 @@ from flingbot_tpu.engine.topology import GRID_STENCIL_CLASSES
 
 _EPS = 1e-9
 
-# packed scalar-param vector layout (per env)
-# [0]=dt  [1]=gravity_y [2]=damping [3]=dynamic_friction
-# [4]=collision_distance [5]=relaxation [6]=spacing
-# [7]=stiff_stretch [8]=stiff_bend [9]=stiff_shear
-# [10]=dimx [11]=dimy
-PARAM_LEN = 12
-
 
 def _shift(a, dy, dx):
     """out[..., y, x] = a[..., y+dy, x+dx] WITH WRAPAROUND (tpu.rotate —
     Mosaic has no pad/slice shift).  Callers must mask wrap positions:
-    forward reads are masked by the pair-validity tests, the dB shift-back
-    multiplies by an explicit in-range mask."""
+    forward reads are masked by the pair-validity tests; for the
+    accumulate-side shift-back the pair masks already zero every
+    coefficient that could wrap."""
     out = a
     if dy:
         # pltpu.roll requires a non-negative shift
@@ -48,11 +38,49 @@ def _shift(a, dy, dx):
     return out
 
 
-def _substep_kernel(param_ref, P_ref, V_ref, w_ref, out_P_ref, out_V_ref,
-                    *, H, W, E, iterations):
-    """Processes a block of E environments per program; arrays are laid out
-    component-leading (3, E, H, W) so every vector instruction works on
-    E * ceil(H/8) * ceil(W/128) tiles (amortizing issue overhead)."""
+# ==========================================================================
+# Round-2 fused kernels
+# ==========================================================================
+#
+# The round-1 pipeline ran one pallas launch per substep (springs only) with
+# contacts + picker + finalize in XLA between launches; the profile showed
+# the XLA contact loop DMA-choked and the kernel spending half its time on
+# masked-out work (2-color GS phases compute the full lattice but project
+# only half the constraints).  The round-2 design:
+#
+#   * `pallas_substeps` — N substeps in ONE launch: integrate -> `iterations`
+#     x (6-class Jacobi springs with eNvFlexRelaxationLocal normalization +
+#     Chebyshev semi-iterative acceleration [Wang 2015] + ground plane) ->
+#     picker spheres -> velocity finalize.  Jacobi projects every constraint
+#     of a class per pass (no color masking), so it does the same useful
+#     projections as 2-color GS in half the vector work; Chebyshev restores
+#     the convergence rate.
+#   * `pallas_contacts` — self-collision on Morton-SORTED arrays (the sort
+#     itself is a multi-operand jax.lax.sort outside the kernel — 4x cheaper
+#     than a gather on TPU): `iterations` x (sorted-window pair sweep with
+#     PBD Coulomb friction + ground plane), VMEM-resident.  Sorted-window
+#     shifts are "folded rolls": the (N,) sorted order is reshaped (R, C)
+#     row-major, a logical shift by k is a lane roll plus a sublane-rolled
+#     lane roll selected at the row seam.
+#
+# Reference contract being implemented: NvFlexUpdateSolver's per-substep
+# pipeline (predict / solveSprings / solveContacts / applyDeltas / finalize,
+# NvFlex.h:197-223) at softgym_cloth.h:154-170 settings.
+
+SUB_PARAM_LEN = 20
+# [0]=dt_sub [1]=gravity_y [2]=damping [3]=dynamic_friction
+# [4]=collision_distance [5]=relaxation [6]=spacing
+# [7..9]=stiffness(stretch,bend,shear) [10]=dimx [11]=dimy
+# [12]=picker_R (radius+coldist) [13]=cheb_rho2
+# [14..16]=picker0 xyz [17..19]=picker1 xyz
+
+CHEB_DELAY = 2
+
+
+def _substeps_kernel(param_ref, P_ref, V_ref, w_ref,
+                     out_P_ref, out_V_ref, out_prev_ref,
+                     *, H, W, n_sub, iterations, cheb):
+    """n_sub XPBD substeps for ONE env; arrays (3, 1, H, W) / (1, H, W)."""
     dt = param_ref[0, 0]
     gravity_y = param_ref[0, 1]
     damping = param_ref[0, 2]
@@ -60,92 +88,71 @@ def _substep_kernel(param_ref, P_ref, V_ref, w_ref, out_P_ref, out_V_ref,
     coldist = param_ref[0, 4]
     relax = param_ref[0, 5]
     spacing = param_ref[0, 6]
-    # per-env fields within the block
-    stiffness = [
-        jnp.stack([param_ref[e, c] for e in range(E)]).reshape(E, 1, 1)
-        for c in (7, 8, 9)
-    ]
-    dimx = jnp.stack(
-        [param_ref[e, 10] for e in range(E)]).reshape(E, 1, 1)
-    dimy = jnp.stack(
-        [param_ref[e, 11] for e in range(E)]).reshape(E, 1, 1)
+    dimx = param_ref[0, 10]
+    dimy = param_ref[0, 11]
+    picker_R = param_ref[0, 12]
+    rho2 = param_ref[0, 13]
 
-    P = P_ref[:]  # (3, E, H, W)
+    P = P_ref[:]  # (3, 1, H, W)
     V = V_ref[:]
-    w = w_ref[:]  # (E, H, W)
+    w = w_ref[:]  # (1, H, W)
 
-    # Mosaic iota must be integer-typed
     iyi = jax.lax.broadcasted_iota(jnp.int32, (1, H, W), 1)
     ixi = jax.lax.broadcasted_iota(jnp.int32, (1, H, W), 2)
     dimx_i = dimx.astype(jnp.int32)
     dimy_i = dimy.astype(jnp.int32)
-    valid = (iyi < dimy_i) & (ixi < dimx_i)  # (E, H, W)
-
-    def nbr_valid(dy, dx):
-        # validity of the (y+dy, x+dx) neighbor, computed from iota instead
-        # of shifting the bool mask (Mosaic cannot pad bool vectors)
-        return (
-            (iyi + dy >= 0) & (iyi + dy < dimy_i)
-            & (ixi + dx >= 0) & (ixi + dx < dimx_i)
-        )
+    valid = (iyi < dimy_i) & (ixi < dimx_i)
     w = jnp.where(valid, w, 0.0)
     moving = valid & (w > 0)
     mm = moving[None]
-
-    # integrate (no .at indexed update — Mosaic has no scatter)
-    V = jnp.stack([V[0], V[1] + dt * gravity_y, V[2]])  # (3, E, H, W)
-    V = V * jnp.maximum(0.0, 1.0 - damping * dt)
-    V = jnp.where(mm, V, 0.0)
-    prev = P
-    P = jnp.where(mm, P + dt * V, P)
-
-    # ---- hoist per-phase constant fields out of the iteration loop -------
-    # coefA = relax*stiff*w_a/(w_a+w_b) on valid constraints (0 elsewhere),
-    # coefB likewise for the neighbor endpoint, mB = in-range mask for the
-    # shift-back.  The inner loop is then pure roll + fma work.
-    phases = []
-    for dy, dx, rest_k, cls in GRID_STENCIL_CLASSES:
-        rest = rest_k * spacing
-        stiff = stiffness[cls]
-        for color in (0, 1):
-            if (dy, dx) == (0, 1):
-                sel = (ixi % 2) == color
-            elif (dy, dx) == (1, 0):
-                sel = (iyi % 2) == color
-            elif (dy, dx) == (0, 2):
-                sel = ((ixi // 2) % 2) == color
-            elif (dy, dx) == (2, 0):
-                sel = ((iyi // 2) % 2) == color
-            else:
-                sel = (iyi % 2) == color
-            wb = _shift(w, dy, dx)
-            pair_ok = sel & valid & nbr_valid(dy, dx)
-            denom = w + wb
-            live = pair_ok & (denom > 0)
-            inv = relax * stiff / (denom + _EPS)
-            coefA = jnp.where(live, w * inv, 0.0)
-            coefB = jnp.where(live, wb * inv, 0.0)
-            back_ok = (
-                (iyi - dy >= 0) & (iyi - dy < H)
-                & (ixi - dx >= 0) & (ixi - dx < W)
-            )
-            mB = jnp.broadcast_to(back_ok, coefA.shape).astype(P.dtype)
-            phases.append((dy, dx, rest, coefA, coefB, mB))
-
-    def spring_phase(P, phase):
-        dy, dx, rest, coefA, coefB, mB = phase
-        Pb = _shift(P, dy, dx)
-        d = Pb - P
-        dist = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2] + _EPS)
-        e = (dist - rest) / dist  # relative extension
-        dA = (coefA * e)[None] * d
-        dB = (coefB * e)[None] * d
-        return P + dA - mB[None] * _shift(dB, -dy, -dx)
-
-    mu_pen = mu  # plane friction coefficient
     mov_f = moving.astype(P.dtype)
 
-    def plane(P):
+    # --- per-class constant coefficient planes (w is static per call) ----
+    # gA = stiff * w   / (w + wb)  at the constraint's start particle
+    # gB = stiff * wb  / (w + wb)  (applied to the neighbor via roll-back;
+    #      pair_ok masking makes the roll's wraparound harmless: wrapped
+    #      values always carry a zero coefficient)
+    stiff_all = [param_ref[0, 7], param_ref[0, 8], param_ref[0, 9]]
+    classes = []
+    count = jnp.zeros((1, H, W), P.dtype)
+    for dy, dx, rest_k, cls in GRID_STENCIL_CLASSES:
+        rest = rest_k * spacing
+        stiff = stiff_all[cls]
+        wb = _shift(w, dy, dx)
+        nbr_ok = ((iyi + dy >= 0) & (iyi + dy < dimy_i)
+                  & (ixi + dx >= 0) & (ixi + dx < dimx_i))
+        pair_ok = valid & nbr_ok
+        denom = w + wb
+        live = pair_ok & (denom > 0)
+        inv = stiff / (denom + _EPS)
+        gA = jnp.where(live, w * inv, 0.0)
+        gB = jnp.where(live, wb * inv, 0.0)
+        live_f = live.astype(P.dtype)
+        count = count + live_f + _shift(live_f, -dy, -dx)
+        classes.append((dy, dx, rest, gA, gB))
+    invc = relax / jnp.maximum(count, 1.0)
+
+    def jacobi(P):
+        acc0 = jnp.zeros((1, H, W), P.dtype)
+        acc1 = jnp.zeros((1, H, W), P.dtype)
+        acc2 = jnp.zeros((1, H, W), P.dtype)
+        for dy, dx, rest, gA, gB in classes:
+            Pb = _shift(P, dy, dx)
+            d0 = Pb[0] - P[0]
+            d1 = Pb[1] - P[1]
+            d2 = Pb[2] - P[2]
+            r = jax.lax.rsqrt(d0 * d0 + d1 * d1 + d2 * d2 + _EPS)
+            e = 1.0 - rest * r  # (dist - rest) / dist
+            a = gA * e
+            b = gB * e
+            acc0 = acc0 + a * d0 - _shift(b * d0, -dy, -dx)
+            acc1 = acc1 + a * d1 - _shift(b * d1, -dy, -dx)
+            acc2 = acc2 + a * d2 - _shift(b * d2, -dy, -dx)
+        return jnp.stack([P[0] + invc * acc0,
+                          P[1] + invc * acc1,
+                          P[2] + invc * acc2])
+
+    def plane(P, prev):
         y = P[1]
         pen = coldist - y
         contact_f = jnp.where(pen > 0, mov_f, 0.0)
@@ -154,80 +161,109 @@ def _substep_kernel(param_ref, P_ref, V_ref, w_ref, out_P_ref, out_V_ref,
         dz_ = P[2] - prev[2]
         t_norm = jnp.sqrt(dx_ * dx_ + dz_ * dz_ + _EPS)
         f = contact_f * jnp.minimum(
-            1.0, mu_pen * jnp.maximum(pen, 0.0) / t_norm)
+            1.0, mu * jnp.maximum(pen, 0.0) / t_norm)
         return jnp.stack([P[0] - dx_ * f, P[1] + dy_, P[2] - dz_ * f])
 
-    def body(_, P):
-        for phase in phases:
-            P = spring_phase(P, phase)
-        return plane(P)
+    def one_substep(_, carry):
+        P, V = carry
+        # integrate
+        V = jnp.stack([V[0], V[1] + dt * gravity_y, V[2]])
+        V = V * jnp.maximum(0.0, 1.0 - damping * dt)
+        V = jnp.where(mm, V, 0.0)
+        prev = P
+        P = jnp.where(mm, P + dt * V, P)
 
-    P = jax.lax.fori_loop(0, iterations, body, P, unroll=False)
-    # NOTE: no velocity finalize here — the caller may still apply
-    # self-collision contacts to P before computing V = (P - prev) / dt
-    # (prev is the caller's input P).  V output is the predicted velocity.
+        if cheb:
+            def body(it, carry):
+                P, P_prev, omega = carry
+                P_next = jacobi(P)
+                omega = jnp.where(
+                    it < CHEB_DELAY, 1.0,
+                    jnp.where(it == CHEB_DELAY, 2.0 / (2.0 - rho2),
+                              4.0 / (4.0 - rho2 * omega)))
+                P_acc = omega * (P_next - P_prev) + P_prev
+                P_acc = jnp.where(it < CHEB_DELAY, P_next, P_acc)
+                return (plane(P_acc, prev), P, omega)
+
+            P, _, _ = jax.lax.fori_loop(
+                0, iterations, body, (P, P, jnp.float32(1.0)))
+        else:
+            def body(_, P):
+                return plane(jacobi(P), prev)
+
+            P = jax.lax.fori_loop(0, iterations, body, P)
+
+        # picker spheres (reference adds pickers as FleX sphere shapes,
+        # flex_utils.py:83)
+        for k in range(2):
+            c0 = param_ref[0, 14 + 3 * k]
+            c1 = param_ref[0, 15 + 3 * k]
+            c2 = param_ref[0, 16 + 3 * k]
+            d0 = P[0] - c0
+            d1 = P[1] - c1
+            d2 = P[2] - c2
+            sq = d0 * d0 + d1 * d1 + d2 * d2 + _EPS
+            r = jax.lax.rsqrt(sq)
+            pen = picker_R - sq * r
+            push = jnp.where((pen > 0) & moving, pen * r, 0.0)
+            P = jnp.stack([P[0] + d0 * push, P[1] + d1 * push,
+                           P[2] + d2 * push])
+
+        V = jnp.where(mm, (P - prev) / dt, V)
+        return (P, V)
+
+    if n_sub > 1:
+        P, V = jax.lax.fori_loop(0, n_sub - 1, one_substep, (P, V))
+    prev_last = P
+    P, V = one_substep(n_sub - 1, (P, V))
 
     out_P_ref[:] = P
     out_V_ref[:] = V
-
-
-def _pick_env_block(B: int) -> int:
-    for e in (8, 4, 2):
-        if B % e == 0:
-            return e
-    return 1
+    out_prev_ref[:] = prev_last
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("iterations", "interpret"),
+    static_argnames=("n_sub", "iterations", "cheb", "interpret"),
 )
-def pallas_substep(params_vec, P, V, w, iterations: int = 30,
-                   interpret: bool = False):
-    """One XPBD substep for a batch of grid-cloth envs.
+def pallas_substeps(params_vec, P, V, w, *, n_sub, iterations: int = 30,
+                    cheb: bool = True, interpret: bool = False):
+    """n_sub fused XPBD substeps (springs+plane+picker+finalize) per env.
 
-    params_vec (B, PARAM_LEN) f32; P, V (B, 3, H, W); w (B, H, W).
-    Returns (P', V').  Internally processes env blocks of up to 8 in a
-    component-leading (3, E, H, W) layout."""
+    params_vec (B, SUB_PARAM_LEN) f32; P, V (B, 3, H, W); w (B, H, W).
+    Returns (P', V', prev_last) where prev_last is the position at the
+    start of the LAST substep (callers need it to re-finalize velocities
+    after an external contact projection)."""
     B, _, H, W = P.shape
-    E = _pick_env_block(B)
-    kernel = functools.partial(_substep_kernel, H=H, W=W, E=E,
-                               iterations=iterations)
+    kernel = functools.partial(_substeps_kernel, H=H, W=W, n_sub=n_sub,
+                               iterations=iterations, cheb=cheb)
     Pt = jnp.swapaxes(P, 0, 1)  # (3, B, H, W)
     Vt = jnp.swapaxes(V, 0, 1)
-    out_P, out_V = pl.pallas_call(
+    blk3 = pl.BlockSpec((3, 1, H, W), lambda b: (0, b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out_P, out_V, out_prev = pl.pallas_call(
         kernel,
-        grid=(B // E,),
+        grid=(B,),
         in_specs=[
-            pl.BlockSpec((E, PARAM_LEN), lambda b: (b, 0),
+            pl.BlockSpec((1, SUB_PARAM_LEN), lambda b: (b, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((3, E, H, W), lambda b: (0, b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, E, H, W), lambda b: (0, b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((E, H, W), lambda b: (b, 0, 0),
+            blk3, blk3,
+            pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((3, E, H, W), lambda b: (0, b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, E, H, W), lambda b: (0, b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct(Pt.shape, P.dtype),
-            jax.ShapeDtypeStruct(Vt.shape, V.dtype),
-        ],
+        out_specs=[blk3, blk3, blk3],
+        out_shape=[jax.ShapeDtypeStruct(Pt.shape, P.dtype)] * 3,
         interpret=interpret,
     )(params_vec, Pt, Vt, w)
-    return jnp.swapaxes(out_P, 0, 1), jnp.swapaxes(out_V, 0, 1)
+    return (jnp.swapaxes(out_P, 0, 1), jnp.swapaxes(out_V, 0, 1),
+            jnp.swapaxes(out_prev, 0, 1))
 
 
-def pack_params(params, topo):
-    """SolverParams + GridTopology -> (PARAM_LEN,) f32 vector (per env).
-    dt here is the SUBSTEP dt."""
+def pack_sub_params(params, topo, picker_pos, picker_radius, dt_sub,
+                    cheb_rho: float):
+    """SolverParams + GridTopology + picker state -> (SUB_PARAM_LEN,) f32."""
     return jnp.stack([
-        jnp.float32(0.0),  # slot 0 (substep dt) filled by caller
+        jnp.float32(dt_sub),
         params.gravity[1],
         params.damping,
         params.dynamic_friction,
@@ -239,4 +275,211 @@ def pack_params(params, topo):
         topo.stiffness[2],
         topo.dimx.astype(jnp.float32),
         topo.dimy.astype(jnp.float32),
+        jnp.float32(picker_radius) + params.collision_distance,
+        jnp.float32(cheb_rho * cheb_rho),
+        picker_pos[0, 0], picker_pos[0, 1], picker_pos[0, 2],
+        picker_pos[1, 0], picker_pos[1, 1], picker_pos[1, 2],
     ])
+
+
+# --------------------------------------------------------------------------
+# sorted-window contact kernel
+# --------------------------------------------------------------------------
+
+CONTACT_PARAM_LEN = 8
+# [0]=rest_dist [1]=w_uniform [2]=mu_pair [3]=mu_plane
+# [4]=collision_distance [5]=n_active(f32) [6]=unused [7]=unused
+
+PACK_IMMOBILE_BIT = 20
+PACK_INACTIVE_BIT = 21
+
+
+def _folded_shift(x, k, C, sub_rolled=None):
+    """Logical shift by +k of a row-major (R, C)-folded 1-D array:
+    out[i] = x[i + k] (wrap across the array end is garbage; callers mask
+    by in-range iota tests).  One lane roll of x and one of its
+    sublane-rolled copy, selected at the row seam."""
+    lane = x.ndim - 1
+    if sub_rolled is None:
+        sub_rolled = pltpu.roll(x, x.shape[-2] - 1, axis=x.ndim - 2)
+    a = pltpu.roll(x, C - k, axis=lane)
+    b = pltpu.roll(sub_rolled, C - k, axis=lane)
+    ci = jax.lax.broadcasted_iota(jnp.int32, x.shape, lane)
+    return jnp.where(ci < C - k, a, b)
+
+
+def _contacts_kernel(param_ref, x_ref, y_ref, z_ref,
+                     px_ref, py_ref, pz_ref, packed_ref,
+                     ox_ref, oy_ref, oz_ref,
+                     *, R, C, window, iterations):
+    """Self-collision contact projection in Morton-sorted order for ONE env.
+
+    All arrays are (1, R, C): the sorted (N,) order reshaped row-major, so
+    sorted slot i lives at [i // C, i % C].  Pairs (i, i+k) for k=1..window
+    are tested per iteration; the rest-pose SelfCollideFilter
+    (NvFlex.h:166) drops lattice-neighbor pairs via the packed lattice
+    coordinates."""
+    rest_d = param_ref[0, 0]
+    w_uni = param_ref[0, 1]
+    mu_p = param_ref[0, 2]
+    mu_plane = param_ref[0, 3]
+    coldist = param_ref[0, 4]
+
+    X = x_ref[:]  # (1, R, C)
+    Y = y_ref[:]
+    Z = z_ref[:]
+    PX = px_ref[:]
+    PY = py_ref[:]
+    PZ = pz_ref[:]
+    pk = packed_ref[:]
+
+    lat_x = pk & 0xFF
+    lat_y = (pk >> 8) & 0xFF
+    immobile = ((pk >> PACK_IMMOBILE_BIT) & 1) > 0
+    inactive = ((pk >> PACK_INACTIVE_BIT) & 1) > 0
+    active = ~inactive
+    w = jnp.where(immobile | inactive, 0.0, w_uni)
+    ms = active & ~immobile  # moving mask in sorted order
+    ms_f = ms.astype(X.dtype)
+
+    ri = jax.lax.broadcasted_iota(jnp.int32, (1, R, C), 1)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (1, R, C), 2)
+    i_flat = ri * C + ci
+    N = R * C
+
+    # hoisted per-k static pair data
+    def sub_roll(a):
+        return pltpu.roll(a, R - 1, axis=a.ndim - 2)
+
+    pk_s = sub_roll(pk)
+    w_s = sub_roll(w)
+    lx_s = sub_roll(lat_x)
+    ly_s = sub_roll(lat_y)
+    PX_s, PY_s, PZ_s = sub_roll(PX), sub_roll(PY), sub_roll(PZ)
+    act_s = sub_roll(active.astype(jnp.int32))
+
+    ks = list(range(1, window + 1))
+    static_k = []
+    for k in ks:
+        in_range = i_flat < N - k
+        pk_n = _folded_shift(pk, k, C, pk_s)
+        lat_xn = pk_n & 0xFF
+        lat_yn = (pk_n >> 8) & 0xFF
+        act_n = _folded_shift(active.astype(jnp.int32), k, C, act_s) > 0
+        nbr = ((jnp.abs(lat_xn - lat_x) <= 1)
+               & (jnp.abs(lat_yn - lat_y) <= 1))
+        ok = in_range & active & act_n & ~nbr
+        wn = _folded_shift(w, k, C, w_s)
+        wsum = w + wn
+        ok = ok & (wsum > 0)
+        coef = jnp.where(ok, 1.0 / (wsum + _EPS), 0.0)  # pen share / dist
+        dpx = PX - _folded_shift(PX, k, C, PX_s)
+        dpy = PY - _folded_shift(PY, k, C, PY_s)
+        dpz = PZ - _folded_shift(PZ, k, C, PZ_s)
+        static_k.append((ok, coef, wn, dpx, dpy, dpz))
+
+    def one_iter(_, carry):
+        X, Y, Z = carry
+        X_s, Y_s, Z_s = sub_roll(X), sub_roll(Y), sub_roll(Z)
+        acc_x = jnp.zeros((1, R, C), X.dtype)
+        acc_y = jnp.zeros((1, R, C), X.dtype)
+        acc_z = jnp.zeros((1, R, C), X.dtype)
+        cnt = jnp.zeros((1, R, C), X.dtype)
+        for idx, k in enumerate(ks):
+            ok, coef, wn, dpx, dpy, dpz = static_k[idx]
+            Xn = _folded_shift(X, k, C, X_s)
+            Yn = _folded_shift(Y, k, C, Y_s)
+            Zn = _folded_shift(Z, k, C, Z_s)
+            d0 = X - Xn
+            d1 = Y - Yn
+            d2 = Z - Zn
+            sq = d0 * d0 + d1 * d1 + d2 * d2 + _EPS
+            r = jax.lax.rsqrt(sq)
+            pen = rest_d - sq * r  # dist = sq * rsqrt(sq)
+            live = pen > 0
+            s = jnp.where(live, coef * pen * r, 0.0)
+            live_f = jnp.where(live & ok, 1.0, 0.0)
+            # friction: tangential part of this substep's pair motion
+            r0 = d0 - dpx
+            r1 = d1 - dpy
+            r2 = d2 - dpz
+            rel_n = (r0 * d0 + r1 * d1 + r2 * d2) * (r * r)
+            t0 = r0 - rel_n * d0
+            t1 = r1 - rel_n * d1
+            t2 = r2 - rel_n * d2
+            tn_r = jax.lax.rsqrt(t0 * t0 + t1 * t1 + t2 * t2 + _EPS)
+            fr = jnp.minimum(1.0, mu_p * jnp.maximum(pen, 0.0) * tn_r)
+            fsc = jnp.where(live, coef * fr, 0.0)
+            # corrections: i gets +w_i*(s*d - coef*fr*t); the neighbor the
+            # opposite with w_n.  (s and coef fold the 1/wsum mass share;
+            # matches solve_contacts_sweep's PBD Coulomb model.)
+            gx = s * d0 - fsc * t0
+            gy = s * d1 - fsc * t1
+            gz = s * d2 - fsc * t2
+            acc_x = acc_x + w * gx
+            acc_y = acc_y + w * gy
+            acc_z = acc_z + w * gz
+            cnt = cnt + live_f
+            # shift corrections back to the neighbor (shift by -k =
+            # folded shift with negated k: lane roll k, sublane roll +1 at
+            # the seam)
+            bx = wn * gx
+            by = wn * gy
+            bz = wn * gz
+
+            def back(v):
+                vs = pltpu.roll(v, 1, axis=v.ndim - 2)
+                a = pltpu.roll(v, k, axis=v.ndim - 1)
+                b = pltpu.roll(vs, k, axis=v.ndim - 1)
+                return jnp.where(ci >= k, a, b)
+
+            acc_x = acc_x - back(bx)
+            acc_y = acc_y - back(by)
+            acc_z = acc_z - back(bz)
+            cnt = cnt + back(live_f)
+        inv_cnt = ms_f / jnp.maximum(cnt, 1.0)
+        X = X + acc_x * inv_cnt
+        Y = Y + acc_y * inv_cnt
+        Z = Z + acc_z * inv_cnt
+        # ground plane with Coulomb friction, in sorted order
+        pen = coldist - Y
+        contact_f = jnp.where(pen > 0, ms_f, 0.0)
+        dx_ = X - PX
+        dz_ = Z - PZ
+        t_norm = jnp.sqrt(dx_ * dx_ + dz_ * dz_ + _EPS)
+        f = contact_f * jnp.minimum(
+            1.0, mu_plane * jnp.maximum(pen, 0.0) / t_norm)
+        return (X - dx_ * f, Y + contact_f * pen, Z - dz_ * f)
+
+    X, Y, Z = jax.lax.fori_loop(0, iterations, one_iter, (X, Y, Z))
+    ox_ref[:] = X
+    oy_ref[:] = Y
+    oz_ref[:] = Z
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("window", "iterations", "interpret"),
+)
+def pallas_contacts(params_vec, xs, ys, zs, pxs, pys, pzs, packed,
+                    *, window: int = 16, iterations: int = 8,
+                    interpret: bool = False):
+    """Contact projection on Morton-sorted, (B, R, C) row-major-folded
+    positions.  Returns updated (xs, ys, zs)."""
+    B, R, C = xs.shape
+    kernel = functools.partial(_contacts_kernel, R=R, C=C, window=window,
+                               iterations=iterations)
+    blk = pl.BlockSpec((1, R, C), lambda b: (b, 0, 0),
+                       memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, CONTACT_PARAM_LEN), lambda b: (b, 0),
+                         memory_space=pltpu.SMEM),
+        ] + [blk] * 7,
+        out_specs=[blk] * 3,
+        out_shape=[jax.ShapeDtypeStruct(xs.shape, xs.dtype)] * 3,
+        interpret=interpret,
+    )(params_vec, xs, ys, zs, pxs, pys, pzs, packed)
+    return out

@@ -93,6 +93,13 @@ def _lattice_indices(topo: GridTopology):
 
 def gather_to_lattice(x: jnp.ndarray, topo: GridTopology, fill=0.0):
     """Canonical (N,) -> (H, W)   or   (N, 3) -> (3, H, W)."""
+    H, W = topo.max_dimy, topo.max_dimx
+    if topo.full_grid:
+        # canonical flat index == lattice index: pure reshape/transpose
+        valid = jnp.ones((H, W), bool)
+        if x.ndim == 1:
+            return x.reshape(H, W), valid
+        return jnp.moveaxis(x.reshape(H, W, 3), -1, 0), valid
     flat, valid = _lattice_indices(topo)
     if x.ndim == 1:
         out = x[flat]
@@ -106,6 +113,8 @@ def scatter_from_lattice(
     lattice: jnp.ndarray, x: jnp.ndarray, topo: GridTopology
 ) -> jnp.ndarray:
     """Lattice (3, H, W) -> canonical (N, 3), untouched where padded."""
+    if topo.full_grid:
+        return jnp.moveaxis(lattice, 0, -1).reshape(-1, lattice.shape[0])
     flat, valid = _lattice_indices(topo)
     tgt = jnp.where(valid, flat, x.shape[0])  # OOB index -> dropped
     vals = jnp.moveaxis(lattice, 0, -1).reshape(-1, lattice.shape[0])
@@ -178,7 +187,9 @@ def _grid_jacobi(P, w, valid, topo: GridTopology, relax):
 
 
 def solve_springs_grid(P, w, valid, topo: GridTopology, relax, mode: str):
-    if mode == "jacobi":
+    if mode in ("jacobi", "chebyshev"):
+        # "chebyshev" uses the same Jacobi iterate; the acceleration wraps
+        # the iteration loop (_chebyshev_loop in _substep).
         return _grid_jacobi(P, w, valid, topo, relax)
     for dy, dx, rest_k, cls in GRID_STENCIL_CLASSES:
         rest = rest_k * topo.spacing
@@ -195,22 +206,26 @@ CHEBYSHEV_DELAY = 2  # plain Jacobi warm-up iterations
 def _chebyshev_loop(P, iterate_fn, iterations: int, plane_fn):
     """Chebyshev semi-iterative acceleration of a Jacobi-style iteration
     (Descent/Chebyshev PBD, Wang 2015): matches FleX's Jacobi + local
-    relaxation semantics but converges like Gauss-Seidel.
+    relaxation semantics (eNvFlexRelaxationLocal, NvFlex.h:89,152-153) but
+    converges like Gauss-Seidel.
 
-        P_{k+1} = omega * (iterate(P_k) - P_{k-1}) + P_{k-1}
-    """
+        P_{k+1} = plane( omega_k * (iterate(P_k) - P_{k-1}) + P_{k-1} )
+
+    The plane projection runs AFTER the extrapolation so the accelerated
+    iterate stays feasible.  Mirrors _substeps_kernel's loop exactly (the
+    pallas backend is cross-checked against this path in tests)."""
     rho2 = CHEBYSHEV_RHO * CHEBYSHEV_RHO
 
     def body(k, carry):
         P, P_prev, omega = carry
-        P_next = plane_fn(iterate_fn(P))
+        P_next = iterate_fn(P)
         omega = jnp.where(
             k < CHEBYSHEV_DELAY, 1.0,
             jnp.where(k == CHEBYSHEV_DELAY, 2.0 / (2.0 - rho2),
                       4.0 / (4.0 - rho2 * omega)))
         P_acc = omega * (P_next - P_prev) + P_prev
         P_acc = jnp.where(k < CHEBYSHEV_DELAY, P_next, P_acc)
-        return (P_acc, P, omega)
+        return (plane_fn(P_acc), P, omega)
 
     P_out, _, _ = jax.lax.fori_loop(
         0, iterations, body, (P, P, jnp.float32(1.0)))
@@ -279,7 +294,7 @@ def solve_picker_spheres(P, picker_pos, picker_radius, params: SolverParams,
 # --------------------------------------------------------------------------
 
 def _substep(P, V, w, moving_mask, params, dt, iterations, solve_fn,
-             contact_fn, normals_fn=None):
+             contact_fn, normals_fn=None, chebyshev=False):
     """One XPBD substep: predict -> iterate constraints -> finalize.
     P, V: (3, ...); w, moving_mask: (...)."""
     g = params.gravity.reshape((3,) + (1,) * (P.ndim - 1))
@@ -294,7 +309,7 @@ def _substep(P, V, w, moving_mask, params, dt, iterations, solve_fn,
     prev = P
     P = jnp.where(mm, P + dt * V, P)
 
-    if getattr(solve_fn, "chebyshev", False):
+    if chebyshev:
         P = _chebyshev_loop(
             P, solve_fn, iterations,
             lambda Q: solve_plane(Q, prev, params, moving_mask))
@@ -316,18 +331,21 @@ def _substep(P, V, w, moving_mask, params, dt, iterations, solve_fn,
 
 def _run_substeps(P, V, w, moving_mask, params, substeps, iterations,
                   solve_fn, contact_fn, picker_pos, picker_radius,
-                  normals_fn=None, contact_every=1):
+                  normals_fn=None, contact_every=1, chebyshev=False):
     dt = params.dt / substeps
 
     def one(i, carry):
         P, V = carry
         cf = contact_fn
         if contact_fn is not None and contact_every > 1:
+            # contacts at the END of each contact_every group (i.e. after
+            # substeps 2, 4, ... for contact_every=2) — same schedule as
+            # the pallas pipeline in _step_grid_pallas
             cf = lambda Px, prev: jax.lax.cond(
-                i % contact_every == 0, contact_fn,
+                (i + 1) % contact_every == 0, contact_fn,
                 lambda q, _p: q, Px, prev)
         P, V = _substep(P, V, w, moving_mask, params, dt, iterations,
-                        solve_fn, cf, normals_fn)
+                        solve_fn, cf, normals_fn, chebyshev)
         P = solve_picker_spheres(P, picker_pos, picker_radius, params,
                                  moving_mask)
         return (P, V)
@@ -353,20 +371,25 @@ def step(
     backend: str = "xla",
     pallas_interpret: bool = False,
     aero: bool = False,
+    contact_window: int = 16,
 ) -> ClothState:
     """Advance the world by one frame: dt split into `substeps` XPBD substeps
     of `iterations` constraint projections each — the TPU analog of
     NvFlexUpdateSolver(g_dt, g_numSubsteps) (main.cpp:2273).
 
-    contact_mode: 'sweep' (Morton-sorted roll-compare, the TPU fast path)
-    or 'table' (exact hash-grid neighbor table — gather-bound, for
-    verification).  backend: 'xla' or 'pallas' (grid cloths only — the
-    VMEM-resident substep kernel in pallas_kernels.py)."""
+    contact_mode (XLA backend): 'sort' (fresh Morton sort + windowed pair
+    sweep per contact pass — mirrors the pallas production path), 'sweep' /
+    'block' (cached-permutation round-1 paths) or 'table' (exact hash-grid
+    neighbor table — gather-bound, for verification).  backend: 'xla' or
+    'pallas' (grid cloths: the fused substeps kernel + sorted contact
+    kernel in pallas_kernels.py; spring_mode 'gs' maps to the
+    Chebyshev-Jacobi solve there)."""
     if isinstance(topo, GridTopology):
         return _step_grid(
             state, topo, params, substeps, iterations, self_collision,
             spring_mode, contact_mode, contact_iterations, contact_every,
             resort_interval, picker_radius, backend, pallas_interpret, aero,
+            contact_window,
         )
     return _step_mesh(
         state, topo, params, substeps, iterations, self_collision,
@@ -395,58 +418,100 @@ def _cached_sweep_order(state, flatP, participate, radius, resort_interval):
     return jax.lax.cond(need, compute, cached, None)
 
 
-def _run_substeps_pallas(P, V, w, valid, moving, params, topo, substeps,
-                         iterations, contact_fn, picker_pos, picker_radius,
-                         interpret, contact_every=1):
-    """Pallas-backed substeps: integrate + springs + plane run inside the
-    VMEM-resident kernel; contacts / finalize / picker spheres outside."""
-    from flingbot_tpu.engine.pallas_kernels import pallas_substep, pack_params
+def _step_grid_pallas(Pl, Vl, wl, valid, moving, state, topo, params,
+                      substeps, iterations, self_collision, spring_mode,
+                      contact_every, contact_window, contact_iterations,
+                      picker_radius, interpret):
+    """Round-2 fused pipeline: `pallas_substeps` launches (contact_every
+    substeps per launch: integrate + Chebyshev-Jacobi springs + ground
+    plane + picker spheres + velocity finalize, all VMEM-resident)
+    interleaved with sort-based contact groups (collisions.contact_group ->
+    pallas_contacts kernel + two multi-operand lax.sorts).
 
-    dt = params.dt / substeps
-    pvec = pack_params(params, topo).at[0].set(dt)
+    Implements the NvFlexUpdateSolver substep pipeline (NvFlex.h:197-223)
+    with self-collision solved once per `contact_every` substeps."""
+    from flingbot_tpu.engine.pallas_kernels import (
+        pack_sub_params, pallas_substeps)
+
+    H, W = topo.max_dimy, topo.max_dimx
+    dt_sub = params.dt / substeps
+    cheb = spring_mode != "jacobi"  # "gs"/"chebyshev" -> accelerated Jacobi
+    pvec = pack_sub_params(params, topo, state.picker_pos, picker_radius,
+                           dt_sub, CHEBYSHEV_RHO)
+    flat_valid = valid.reshape(-1)
     mm = moving[None]
 
-    def one(i, carry):
-        P, V = carry
-        prev = P
-        Pn, Vp = pallas_substep(
-            pvec[None], P[None], V[None], w[None],
-            iterations=iterations, interpret=interpret)
-        P, V = Pn[0], Vp[0]
-        if contact_fn is not None:
-            def with_contacts(Px):
-                Px = contact_fn(Px, prev)
-                return solve_plane(Px, prev, params, moving)
-            if contact_every > 1:
-                P = jax.lax.cond(
-                    i % contact_every == 0, with_contacts, lambda q: q, P)
-            else:
-                P = with_contacts(P)
-        V = jnp.where(mm, (P - prev) / dt, V)
-        P = solve_picker_spheres(P, picker_pos, picker_radius, params,
-                                 moving)
-        return (P, V)
+    n_sub = contact_every if self_collision else substeps
+    n_groups = max(1, substeps // n_sub)
+    assert n_groups * n_sub == substeps, (
+        "substeps must be divisible by contact_every")
 
-    P, V = jax.lax.fori_loop(0, substeps, one, (P, V))
-    return P, V
+    for _ in range(n_groups):
+        Pn, Vn, prevL = pallas_substeps(
+            pvec[None], Pl[None], Vl[None], wl[None],
+            n_sub=n_sub, iterations=iterations, cheb=cheb,
+            interpret=interpret)
+        Pl, Vl, prevL = Pn[0], Vn[0], prevL[0]
+        if self_collision:
+            P2 = collisions.contact_group(
+                Pl.reshape(3, -1), prevL.reshape(3, -1), wl.reshape(-1),
+                flat_valid, params, rest_dist=params.radius, lattice_w=W,
+                window=contact_window, iterations=contact_iterations,
+                backend="pallas", interpret=interpret,
+            ).reshape(3, H, W)
+            P2 = solve_picker_spheres(P2, state.picker_pos, picker_radius,
+                                      params, moving)
+            Vl = jnp.where(mm, Vl + (P2 - Pl) / dt_sub, Vl)
+            Pl = P2
+    return Pl, Vl
 
 
 def _step_grid(state, topo, params, substeps, iterations, self_collision,
                spring_mode, contact_mode, contact_iterations, contact_every,
                resort_interval, picker_radius,
-               backend="xla", pallas_interpret=False, aero=False):
+               backend="xla", pallas_interpret=False, aero=False,
+               contact_window=16):
     Pl, valid = gather_to_lattice(state.positions, topo)  # (3, H, W)
     Vl, _ = gather_to_lattice(state.velocities, topo)
     wl, _ = gather_to_lattice(state.inv_mass, topo)
     wl = jnp.where(valid, wl, 0.0)
     moving = valid & (wl > 0)
 
+    if backend == "pallas":
+        if aero:
+            raise NotImplementedError(
+                "aero is only implemented on the XLA backend; the flingbot "
+                "scene runs with drag/lift/wind = 0 (main.cpp:753-764)")
+        Pl, Vl = _step_grid_pallas(
+            Pl, Vl, wl, valid, moving, state, topo, params, substeps,
+            iterations, self_collision, spring_mode, contact_every,
+            contact_window, contact_iterations, picker_radius,
+            pallas_interpret)
+        positions = scatter_from_lattice(Pl, state.positions, topo)
+        velocities = scatter_from_lattice(Vl, state.velocities, topo)
+        return state.replace(
+            positions=positions, velocities=velocities,
+            time=state.time + params.dt,
+            step_count=state.step_count + 1,
+        )
+
     contact_fn = None
     perm = inv_perm = None
     if self_collision:
         flat_moving = moving.reshape(-1)
         flat_valid = valid.reshape(-1)
-        if contact_mode in ("sweep", "block"):
+        if contact_mode == "sort":
+            H, W = topo.max_dimy, topo.max_dimx
+
+            def contact_fn(P, prev):
+                P2 = collisions.contact_group(
+                    P.reshape(3, -1), prev.reshape(3, -1),
+                    wl.reshape(-1), flat_valid, params,
+                    rest_dist=params.radius, lattice_w=W,
+                    window=contact_window,
+                    iterations=contact_iterations, backend="xla")
+                return P2.reshape(3, H, W)
+        elif contact_mode in ("sweep", "block"):
             perm, inv_perm = _cached_sweep_order(
                 state, Pl.reshape(3, -1), flat_valid, params.radius,
                 resort_interval)
@@ -469,26 +534,19 @@ def _step_grid(state, topo, params, substeps, iterations, self_collision,
             contact_fn = lambda P, prev: collisions.solve_contacts(
                 P, wl, moving, nbr_idx, nbr_mask, rest_dist=params.radius)
 
-    if backend == "pallas":
-        Pl, Vl = _run_substeps_pallas(
-            Pl, Vl, wl, valid, moving, params, topo, substeps, iterations,
-            contact_fn, state.picker_pos, picker_radius, pallas_interpret,
-            contact_every,
-        )
-    else:
-        solve_fn = lambda P: solve_springs_grid(
-            P, wl, valid, topo, params.relaxation_factor, spring_mode
-        )
-        normals_fn = None
-        if aero:
-            from flingbot_tpu.engine.aero import grid_normals
+    solve_fn = lambda P: solve_springs_grid(
+        P, wl, valid, topo, params.relaxation_factor, spring_mode
+    )
+    normals_fn = None
+    if aero:
+        from flingbot_tpu.engine.aero import grid_normals
 
-            normals_fn = lambda P: grid_normals(P, valid)
-        Pl, Vl = _run_substeps(
-            Pl, Vl, wl, moving, params, substeps, iterations, solve_fn,
-            contact_fn, state.picker_pos, picker_radius, normals_fn,
-            contact_every,
-        )
+        normals_fn = lambda P: grid_normals(P, valid)
+    Pl, Vl = _run_substeps(
+        Pl, Vl, wl, moving, params, substeps, iterations, solve_fn,
+        contact_fn, state.picker_pos, picker_radius, normals_fn,
+        contact_every, chebyshev=(spring_mode == "chebyshev"),
+    )
 
     positions = scatter_from_lattice(Pl, state.positions, topo)
     velocities = scatter_from_lattice(Vl, state.velocities, topo)

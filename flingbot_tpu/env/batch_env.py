@@ -68,12 +68,15 @@ class BatchSimEnv:
         render_dim: int = 400,
         self_collision: bool = True,
         spring_mode: str = "gs",
+        contact_mode: str = "block",
         contact_every: int = 1,
         backend: str = "xla",
         substeps: int = 4,
         iterations: int = 30,
         max_grid_dim: int = 104,
         sharding=None,
+        domain_randomization: bool = True,
+        seed: int = 0,
         **_unused,
     ):
         self.get_task_fn = get_task_fn
@@ -102,6 +105,7 @@ class BatchSimEnv:
         )
         self.sim_kw = dict(
             self_collision=self_collision, spring_mode=spring_mode,
+            contact_mode=contact_mode,
             contact_every=contact_every, backend=backend,
             substeps=substeps, iterations=iterations)
         self.max_grid_dim = max_grid_dim
@@ -131,19 +135,24 @@ class BatchSimEnv:
                 in_axes=(0, 0, None, 0, 0, None),
             )
         )
-        self._vm_observe = jax.jit(
-            jax.vmap(
-                functools.partial(
-                    compute_observation,
-                    image_size=self.image_dim,
-                    obs_dim=self.obs_dim,
-                    conservative_grasp_radius=self.conservative_grasp_radius,
-                    use_adaptive_scaling=self.use_adaptive_scaling,
-                    reach_distance_limit=self.reach_distance_limit,
-                ),
-                in_axes=(0, 0, None, None),
-            )
+        self.domain_randomization = domain_randomization
+        self._dr_rng = np.random.RandomState(seed)
+        self._dr_keys = None  # (B, 2) uint32, re-drawn per episode
+        obs_fn = functools.partial(
+            compute_observation,
+            image_size=self.image_dim,
+            obs_dim=self.obs_dim,
+            conservative_grasp_radius=self.conservative_grasp_radius,
+            use_adaptive_scaling=self.use_adaptive_scaling,
+            reach_distance_limit=self.reach_distance_limit,
         )
+        if domain_randomization:
+            self._vm_observe = jax.jit(jax.vmap(
+                lambda p, a, r, s, k: obs_fn(p, a, r, s, dr_key=k),
+                in_axes=(0, 0, None, None, 0)))
+        else:
+            self._vm_observe = jax.jit(jax.vmap(
+                obs_fn, in_axes=(0, 0, None, None)))
         self._vm_settle = jax.jit(
             jax.vmap(
                 lambda s, t: solver_step(s, t, self.params, **self.sim_kw),
@@ -160,6 +169,9 @@ class BatchSimEnv:
         state = scene.state.replace(picker_pos=jnp.asarray(PARK_PICKERS))
         return scene.topo, state
 
+    def _fresh_dr_key(self):
+        return jax.random.PRNGKey(self._dr_rng.randint(2 ** 31))
+
     def reset(self):
         """Load a task into every env slot and compute the first obs."""
         topos, states = [], []
@@ -170,6 +182,9 @@ class BatchSimEnv:
             states.append(state)
             self.memories[i] = Memory()
             self.timesteps[i] = 0
+        if self.domain_randomization:
+            self._dr_keys = jnp.stack(
+                [self._fresh_dr_key() for _ in range(self.num_envs)])
         self.topo = _tree_stack(topos)
         self.state = _tree_stack(states)
         if self.sharding is not None:
@@ -182,9 +197,15 @@ class BatchSimEnv:
         return self.obs.obs_stack  # (B, T, 4, D, D)
 
     def _observe(self):
-        self.obs = self._vm_observe(
-            self.state.positions, self.state.active,
-            jnp.asarray(self.rotations), jnp.asarray(self.scale_factors))
+        if self.domain_randomization:
+            self.obs = self._vm_observe(
+                self.state.positions, self.state.active,
+                jnp.asarray(self.rotations),
+                jnp.asarray(self.scale_factors), self._dr_keys)
+        else:
+            self.obs = self._vm_observe(
+                self.state.positions, self.state.active,
+                jnp.asarray(self.rotations), jnp.asarray(self.scale_factors))
 
     def _pretransform_obs(self, i):
         rgb = np.asarray(self.obs.rgb[i])
@@ -247,6 +268,9 @@ class BatchSimEnv:
                 topo, state = self._load_scene(self.tasks[i])
                 self.topo = _tree_set(self.topo, i, topo)
                 self.state = _tree_set(self.state, i, state)
+                if self.domain_randomization:
+                    self._dr_keys = self._dr_keys.at[i].set(
+                        self._fresh_dr_key())
                 self.memories[i] = Memory()
                 self.timesteps[i] = 0
             self._observe()

@@ -69,9 +69,11 @@ def compute_observation(
     use_adaptive_scaling: bool = True,
     reach_distance_limit: float = 1.2,
     cloth_color=(0.35, 0.35, 0.85),
+    dr_key=None,
 ) -> Observation:
     rgb, depth = render_rgbd(
-        positions, active, image_size=image_size, cloth_color=cloth_color)
+        positions, active, image_size=image_size, cloth_color=cloth_color,
+        dr_key=dr_key)
     cloth_mask = depth < CAMERA_HEIGHT - 1e-4
 
     # adaptive scaling from the mask bounding box (simEnv.py:719-732)

@@ -298,6 +298,7 @@ def run_program(
     iterations: int = 30,
     self_collision: bool = True,
     spring_mode: str = "gs",
+    contact_mode: str = "block",
     contact_every: int = 1,
     backend: str = "xla",
 ):
@@ -442,6 +443,7 @@ def run_program(
             return solver_step(
                 s, topo, params, substeps=substeps, iterations=iterations,
                 self_collision=self_collision, spring_mode=spring_mode,
+                contact_mode=contact_mode,
                 contact_every=contact_every, backend=backend)
 
         st = jax.lax.cond(is_jump_kind, lambda s: s, do_sim, st)
@@ -485,7 +487,7 @@ def run_program(
     jax.jit,
     static_argnames=(
         "primitive", "cfg", "substeps", "iterations", "self_collision",
-        "spring_mode", "contact_every", "backend",
+        "spring_mode", "contact_mode", "contact_every", "backend",
     ),
 )
 def execute_primitive(
@@ -502,6 +504,7 @@ def execute_primitive(
     iterations: int = 30,
     self_collision: bool = True,
     spring_mode: str = "gs",
+    contact_mode: str = "block",
     contact_every: int = 1,
     backend: str = "xla",
 ):
@@ -513,6 +516,6 @@ def execute_primitive(
         state, topo, params, prog, dist, init_fh,
         max_steps=cfg.max_program_steps, substeps=substeps,
         iterations=iterations, self_collision=self_collision,
-        spring_mode=spring_mode, contact_every=contact_every,
-        backend=backend,
+        spring_mode=spring_mode, contact_mode=contact_mode,
+        contact_every=contact_every, backend=backend,
     )

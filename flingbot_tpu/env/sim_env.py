@@ -44,7 +44,8 @@ STABLE_MAX_STEPS = 300
 
 
 def _stabilize(state, topo, params, *, substeps, iterations, self_collision,
-               spring_mode, contact_every=1, backend="xla",
+               spring_mode, contact_mode="block", contact_every=1,
+               backend="xla",
                max_steps=STABLE_MAX_STEPS, tol=STABLE_TOL):
     """wait_until_stable as a bounded while_loop (flex_utils.py:430-441)."""
 
@@ -60,7 +61,7 @@ def _stabilize(state, topo, params, *, substeps, iterations, self_collision,
         st, k = c
         st = solver_step(st, topo, params, substeps=substeps,
                          iterations=iterations, self_collision=self_collision,
-                         spring_mode=spring_mode,
+                         spring_mode=spring_mode, contact_mode=contact_mode,
                          contact_every=contact_every, backend=backend)
         return st, k + 1
 
@@ -73,7 +74,7 @@ def _stabilize(state, topo, params, *, substeps, iterations, self_collision,
     static_argnames=("primitives", "prim_cfg", "pix_grasp_dist",
                      "pix_drag_dist", "pix_place_dist", "substeps",
                      "iterations", "self_collision", "spring_mode",
-                     "contact_every", "backend"),
+                     "contact_mode", "contact_every", "backend"),
 )
 def step_core(
     state,
@@ -91,6 +92,7 @@ def step_core(
     iterations: int = 30,
     self_collision: bool = True,
     spring_mode: str = "gs",
+    contact_mode: str = "block",
     contact_every: int = 1,
     backend: str = "xla",
 ):
@@ -105,6 +107,7 @@ def step_core(
 
     sim_kw = dict(substeps=substeps, iterations=iterations,
                   self_collision=self_collision, spring_mode=spring_mode,
+                  contact_mode=contact_mode,
                   contact_every=contact_every, backend=backend)
 
     def make_branch(prim_name):
@@ -170,12 +173,15 @@ class SimEnv:
         dump_visualizations: bool = False,
         self_collision: bool = True,
         spring_mode: str = "gs",
+        contact_mode: str = "block",
         contact_every: int = 1,
         backend: str = "xla",
         substeps: int = 4,
         iterations: int = 30,
         max_grid_dim: int = 104,
         mesh_caps=None,
+        domain_randomization: bool = True,
+        seed: int = 0,
         **_unused,
     ):
         self.get_task_fn = get_task_fn
@@ -205,6 +211,7 @@ class SimEnv:
         self.dump_visualizations = dump_visualizations
         self.self_collision = self_collision
         self.spring_mode = spring_mode
+        self.contact_mode = contact_mode
         self.contact_every = contact_every
         self.backend = backend
         self.substeps = substeps
@@ -224,6 +231,9 @@ class SimEnv:
         self.current_timestep = 0
         self.terminate = False
         self.episode_count = 0
+        self.domain_randomization = domain_randomization
+        self._dr_rng = np.random.RandomState(seed)
+        self.dr_key = None  # per-episode render randomization key
 
     # ------------------------------------------------------------------
 
@@ -238,6 +248,7 @@ class SimEnv:
             conservative_grasp_radius=self.conservative_grasp_radius,
             use_adaptive_scaling=self.use_adaptive_scaling,
             reach_distance_limit=self.reach_distance_limit,
+            dr_key=self.dr_key,
         )
         self.adaptive_scale_factors = np.asarray(obs.adaptive_scales)
         return obs
@@ -252,6 +263,9 @@ class SimEnv:
         self.episode_memory = Memory()
         self.current_timestep = 0
         self.terminate = False
+        if self.domain_randomization:
+            # fresh per-episode render randomization (render_rgbd.py:10-54)
+            self.dr_key = jax.random.PRNGKey(self._dr_rng.randint(2 ** 31))
         self.current_task = self.get_task_fn()
         scene = set_scene(
             self.current_task.get_config(), self.current_task.get_state(),
@@ -263,6 +277,7 @@ class SimEnv:
             self.state, self.topo, self.params,
             substeps=self.substeps, iterations=self.iterations,
             self_collision=self.self_collision, spring_mode=self.spring_mode,
+            contact_mode=self.contact_mode,
             contact_every=self.contact_every, backend=self.backend)
         self.init_coverage = float(get_current_covered_area(
             self.state.positions, self.state.active))
@@ -299,6 +314,7 @@ class SimEnv:
             iterations=self.iterations,
             self_collision=self.self_collision,
             spring_mode=self.spring_mode,
+            contact_mode=self.contact_mode,
             contact_every=self.contact_every,
             backend=self.backend,
         )

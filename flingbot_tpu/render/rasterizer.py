@@ -34,6 +34,56 @@ DEFAULT_FLOOR_COLOR = (0.9, 0.9, 0.9)
 _LIGHT = (0.3, 0.8, 0.5)
 
 
+def _hsv_to_rgb(h, s, v):
+    """Scalar traced HSV -> (3,) RGB (the reference jitters the cloth BSDF
+    color in HSV, render_rgbd.py:38-44)."""
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - f * s)
+    t = v * (1.0 - (1.0 - f) * s)
+    i = jnp.mod(i, 6.0).astype(jnp.int32)
+    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4], [v, q, p, p, t], v)
+    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4], [t, v, v, q, p], p)
+    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4], [p, p, t, v, v], q)
+    return jnp.stack([r, g, b])
+
+
+def _fbm_noise(key, image_size: int, octaves=(9, 17, 33)):
+    """Multi-octave value noise in [0,1] — the on-device stand-in for the
+    reference's Blender Musgrave floor texture (render_rgbd.py:20-35)."""
+    total = jnp.zeros((image_size, image_size))
+    amp = 1.0
+    norm = 0.0
+    for i, g in enumerate(octaves):
+        key, sub = jax.random.split(key)
+        grid = jax.random.uniform(sub, (g, g))
+        up = jax.image.resize(grid, (image_size, image_size), "bilinear")
+        total = total + amp * up
+        norm += amp
+        amp *= 0.55
+    return total / norm
+
+
+def domain_randomized_palette(dr_key, image_size: int):
+    """Per-episode randomized (cloth_color (3,), floor_rgb (S,S,3)).
+
+    Mirrors the reference's domain randomization: random Musgrave floor
+    texture + random cloth HSV color per rendered observation episode
+    (reference: render_rgbd.py:10-54, README.md:178-184)."""
+    k_h, k_s, k_v, k_f1, k_f2, k_n = jax.random.split(dr_key, 6)
+    cloth = _hsv_to_rgb(
+        jax.random.uniform(k_h),
+        jax.random.uniform(k_s, minval=0.45, maxval=1.0),
+        jax.random.uniform(k_v, minval=0.4, maxval=0.95),
+    )
+    c1 = jax.random.uniform(k_f1, (3,), minval=0.15, maxval=1.0)
+    c2 = jax.random.uniform(k_f2, (3,), minval=0.15, maxval=1.0)
+    t = _fbm_noise(k_n, image_size)
+    floor = c1[None, None, :] + t[..., None] * (c2 - c1)[None, None, :]
+    return cloth, floor
+
+
 def _splat_depth(positions, active, image_size, splat_radius_px, k,
                  camera_height):
     """Scatter-min particle disks into a flat depth buffer."""
@@ -96,11 +146,14 @@ def render_rgbd(
     splat_radius_px: float = 2.5,
     k: int = 7,
     camera_height: float = CAMERA_HEIGHT,
+    dr_key=None,
 ):
     """(N,3) particles -> (rgb (S,S,3) in [0,1], depth (S,S) linear).
 
     Matches the reference obs contract: get_image / blender_render_cloth
-    return (color, depth) with the floor at depth 2.0."""
+    return (color, depth) with the floor at depth 2.0.  When `dr_key` (a
+    PRNGKey) is given, cloth color and floor texture are domain-randomized
+    from it (render_rgbd.py:10-54 parity) — pass a per-episode key."""
     depth = _splat_depth(
         positions, active, image_size, splat_radius_px, k, camera_height
     )
@@ -122,10 +175,14 @@ def render_rgbd(
     )
     shade = 0.55 + 0.45 * lam
 
-    cloth = jnp.asarray(cloth_color)[None, None, :] * shade[..., None]
-    floor = jnp.broadcast_to(
-        jnp.asarray(floor_color)[None, None, :], cloth.shape
-    )
+    if dr_key is not None:
+        cloth_c, floor = domain_randomized_palette(dr_key, image_size)
+        cloth = cloth_c[None, None, :] * shade[..., None]
+    else:
+        cloth = jnp.asarray(cloth_color)[None, None, :] * shade[..., None]
+        floor = jnp.broadcast_to(
+            jnp.asarray(floor_color)[None, None, :], cloth.shape
+        )
     rgb = jnp.where(is_cloth[..., None], cloth, floor)
     return jnp.clip(rgb, 0.0, 1.0), depth
 

@@ -1,12 +1,16 @@
 """Flag system — the same ~30 training/eval/env flags as the reference
 config_parser (reference: utils.py:17-88), plus TPU-native additions
 (num_envs, spring_mode, self_collision, mesh axis size).
+
+Boolean flags that default to True use BooleanOptionalAction so they can
+actually be turned off from the CLI (--no_obs_color_jitter etc.) — the
+reference's store_true-with-default-True pattern made them unfalsifiable.
 """
 
 from __future__ import annotations
 
 import random
-from argparse import ArgumentParser
+from argparse import ArgumentParser, BooleanOptionalAction
 
 import numpy as np
 
@@ -42,16 +46,22 @@ def config_parser(parser: ArgumentParser = None) -> ArgumentParser:
     parser.add_argument("--action_expl_decay", type=float, default=0.9995)
     parser.add_argument("--value_expl_prob", type=float, default=0.0)
     parser.add_argument("--value_expl_decay", type=float, default=0.995)
-    parser.add_argument("--obs_color_jitter", action="store_true",
+    parser.add_argument("--obs_color_jitter", action=BooleanOptionalAction,
                         default=True)
+    parser.add_argument("--domain_randomization",
+                        action=BooleanOptionalAction, default=True,
+                        help="per-episode randomized floor texture + cloth "
+                             "color in the renderer (reference: "
+                             "render_rgbd.py:10-54)")
     parser.add_argument("--fixed_fling_height", type=float, default=-1)
     # Network
     parser.add_argument("--depth_only", action="store_true", default=False)
-    parser.add_argument("--rgb_only", action="store_true", default=True)
-    parser.add_argument("--use_adaptive_scaling", action="store_true",
+    parser.add_argument("--rgb_only", action=BooleanOptionalAction,
                         default=True)
-    parser.add_argument("--use_normalized_coverage", action="store_true",
-                        default=True)
+    parser.add_argument("--use_adaptive_scaling",
+                        action=BooleanOptionalAction, default=True)
+    parser.add_argument("--use_normalized_coverage",
+                        action=BooleanOptionalAction, default=True)
     parser.add_argument("--conservative_grasp_radius", type=int, default=1)
     parser.add_argument("--action_primitives", nargs="+",
                         choices=["fling", "stretchdrag", "drag", "place"],

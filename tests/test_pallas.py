@@ -1,4 +1,12 @@
-"""Pallas substep kernel vs the XLA stencil path (interpret mode on CPU)."""
+"""Pallas kernels vs the XLA reference paths (interpret mode on CPU).
+
+The pallas backend = `pallas_substeps` (Chebyshev-Jacobi springs) +
+sort-based contact groups (`pallas_contacts`); the XLA mirror is
+spring_mode="chebyshev" + contact_mode="sort".  The cloth system is
+chaotic (a 1e-6 perturbation grows ~10x/step once the cloth interacts),
+so trajectory comparisons run 1-2 steps at tight tolerance; longer-run
+behavior is covered by the statistical tests in test_solver.py.
+"""
 
 import jax
 import jax.numpy as jnp
@@ -6,12 +14,17 @@ import numpy as np
 import pytest
 
 from flingbot_tpu.engine import solver
-from flingbot_tpu.engine.pallas_kernels import (
-    PARAM_LEN,
-    pack_params,
-    pallas_substep,
+from flingbot_tpu.engine.collisions import (
+    _contacts_sorted_flat,
+    contact_group,
+    pack_lattice_ids,
 )
-from flingbot_tpu.engine.state import SolverParams
+from flingbot_tpu.engine.pallas_kernels import (
+    SUB_PARAM_LEN,
+    pack_sub_params,
+    pallas_substeps,
+)
+from flingbot_tpu.engine.state import ClothState, SolverParams
 from flingbot_tpu.engine.topology import build_grid_topology, grid_positions
 
 DIM = 16
@@ -30,59 +43,190 @@ def setup(dim=DIM, seed=0):
     return topo, params, P, V, w
 
 
-def xla_substep(topo, params, P, V, w, iterations=30):
+def xla_substeps(topo, params, P, V, w, n_sub, iterations=30):
+    """XLA mirror of pallas_substeps: chebyshev springs + plane + picker
+    + finalize per substep (picker parked far away)."""
     valid = jnp.ones(P.shape[1:], bool)
     moving = valid & (w > 0)
     solve_fn = lambda Px: solver.solve_springs_grid(
-        Px, w, valid, topo, params.relaxation_factor, "gs")
-    return solver._substep(P, V, w, moving, params, SUB_DT, iterations,
-                           solve_fn, None)
+        Px, w, valid, topo, params.relaxation_factor, "chebyshev")
+    prev = P
+    for _ in range(n_sub):
+        prev = P
+        P, V = solver._substep(P, V, w, moving, params, SUB_DT, iterations,
+                               solve_fn, None, chebyshev=True)
+    return P, V, prev
 
 
-class TestPallasSubstep:
-    def test_matches_xla_path(self):
+def run_pallas_substeps(topo, params, P, V, w, n_sub, iterations=30):
+    picker = jnp.full((2, 3), -10.0)
+    pvec = pack_sub_params(params, topo, picker, 0.02, SUB_DT,
+                           solver.CHEBYSHEV_RHO)
+    Po, Vo, prevo = pallas_substeps(
+        pvec[None], P[None], V[None], w[None],
+        n_sub=n_sub, iterations=iterations, cheb=True, interpret=True)
+    return Po[0], Vo[0], prevo[0]
+
+
+class TestPallasSubsteps:
+    def test_matches_xla_chebyshev(self):
         topo, params, P, V, w = setup()
-        P1, V1 = xla_substep(topo, params, P, V, w)
-        pvec = pack_params(params, topo).at[0].set(SUB_DT)
-        P2, V2p = pallas_substep(
-            pvec[None], P[None], V[None], w[None],
-            iterations=30, interpret=True)
+        P1, V1, prev1 = xla_substeps(topo, params, P, V, w, n_sub=1)
+        P2, V2, prev2 = run_pallas_substeps(topo, params, P, V, w, n_sub=1)
         np.testing.assert_allclose(
-            np.asarray(P1), np.asarray(P2[0]), atol=2e-6)
-        # kernel leaves finalize to the caller: V1 == (P2 - P) / dt
-        V2 = np.asarray((P2[0] - P) / SUB_DT)
-        np.testing.assert_allclose(np.asarray(V1), V2, atol=2e-3)
+            np.asarray(P1), np.asarray(P2), atol=3e-6)
+        np.testing.assert_allclose(
+            np.asarray(V1), np.asarray(V2), atol=3e-3)
+        np.testing.assert_allclose(
+            np.asarray(prev1), np.asarray(prev2), atol=3e-6)
+
+    def test_multi_substep_prev_semantics(self):
+        topo, params, P, V, w = setup()
+        P1, V1, prev1 = xla_substeps(topo, params, P, V, w, n_sub=2,
+                                     iterations=10)
+        P2, V2, prev2 = run_pallas_substeps(topo, params, P, V, w, n_sub=2,
+                                            iterations=10)
+        np.testing.assert_allclose(np.asarray(P1), np.asarray(P2), atol=1e-5)
+        # prev = position at the start of the LAST substep
+        np.testing.assert_allclose(np.asarray(prev1), np.asarray(prev2),
+                                   atol=1e-5)
 
     def test_batched(self):
         topo, params, P, V, w = setup()
         _, _, P2s, V2s, _ = setup(seed=1)
-        pvec = pack_params(params, topo).at[0].set(SUB_DT)
-        Pb = jnp.stack([P, P2s])
-        Vb = jnp.stack([V, V2s])
-        wb = jnp.stack([w, w])
-        pb = jnp.stack([pvec, pvec])
-        Po, Vo = pallas_substep(pb, Pb, Vb, wb, iterations=5, interpret=True)
-        # each env independently matches the XLA path
+        picker = jnp.full((2, 3), -10.0)
+        pvec = pack_sub_params(params, topo, picker, 0.02, SUB_DT,
+                               solver.CHEBYSHEV_RHO)
+        Po, Vo, _ = pallas_substeps(
+            jnp.stack([pvec, pvec]), jnp.stack([P, P2s]),
+            jnp.stack([V, V2s]), jnp.stack([w, w]),
+            n_sub=1, iterations=5, cheb=True, interpret=True)
         for i, (Pi, Vi) in enumerate(((P, V), (P2s, V2s))):
-            Pr, Vr = xla_substep(topo, params, Pi, Vi, w, iterations=5)
+            Pr, _, _ = xla_substeps(topo, params, Pi, Vi, w, n_sub=1,
+                                    iterations=5)
             np.testing.assert_allclose(
-                np.asarray(Pr), np.asarray(Po[i]), atol=2e-6)
+                np.asarray(Pr), np.asarray(Po[i]), atol=3e-6)
 
+    def test_masked_inactive_region(self):
+        # dims smaller than the lattice: padding must stay untouched
+        dim, full = 10, DIM
+        topo = build_grid_topology(dim, dim, max_dimx=full, max_dimy=full)
+        params = SolverParams()
+        P = jnp.zeros((3, full, full)).at[1].set(0.1)
+        V = jnp.zeros((3, full, full))
+        w = jnp.full((full, full), 100.0)
+        Po, _, _ = run_pallas_substeps(topo, params, P, V, w, n_sub=1,
+                                       iterations=3)
+        assert float(Po[1, full - 1, full - 1]) == pytest.approx(0.1)
+        assert float(Po[1, 0, 0]) < 0.1
+
+    def test_picker_spheres_inside_kernel(self):
+        topo, params, P, V, w = setup()
+        picker = jnp.asarray([[0.04, 0.1, 0.04], [-10.0, -10.0, -10.0]])
+        pvec = pack_sub_params(params, topo, picker, 0.02, SUB_DT,
+                               solver.CHEBYSHEV_RHO)
+        Po, _, _ = pallas_substeps(
+            pvec[None], P[None], V[None], w[None],
+            n_sub=1, iterations=3, cheb=True, interpret=True)
+        p = np.asarray(Po[0]).reshape(3, -1).T
+        d = np.linalg.norm(p - np.asarray(picker[0]), axis=1)
+        R = 0.02 + float(params.collision_distance)
+        assert d.min() >= R - 1e-4  # pushed out of the gripper sphere
+
+
+class TestSortedContacts:
+    def _sorted_setup(self, seed=0, n=256, lattice_w=16):
+        rng = np.random.default_rng(seed)
+        # clumped points so contacts actually fire
+        P = jnp.asarray(rng.normal(0, 0.01, (3, n)).astype(np.float32))
+        prev = P + jnp.asarray(
+            rng.normal(0, 1e-3, (3, n)).astype(np.float32))
+        w = jnp.full(n, 100.0).at[3].set(0.0)
+        active = jnp.arange(n) < (n - 7)
+        return P, prev, w, active
+
+    def test_pallas_matches_flat_reference(self):
+        P, prev, w, active = self._sorted_setup()
+        params = SolverParams()
+        out_p = contact_group(P, prev, w, active, params,
+                              rest_dist=0.011, lattice_w=16,
+                              window=8, iterations=4, backend="pallas",
+                              interpret=True)
+        out_x = contact_group(P, prev, w, active, params,
+                              rest_dist=0.011, lattice_w=16,
+                              window=8, iterations=4, backend="xla")
+        np.testing.assert_allclose(
+            np.asarray(out_p), np.asarray(out_x), atol=1e-6)
+
+    def test_separates_overlapping_pairs(self):
+        n = 64
+        P = np.zeros((3, n), np.float32)
+        P[:, :] = np.arange(n)[None, :] * 0.05  # spread along diagonal
+        # bring two lattice-FAR particles into overlap
+        P[:, 40] = P[:, 8] + 0.002
+        P = jnp.asarray(P)
+        w = jnp.full(n, 100.0)
+        active = jnp.ones(n, bool)
+        params = SolverParams()
+        out = contact_group(P, P, w, active, params, rest_dist=0.011,
+                            lattice_w=8, window=8, iterations=8,
+                            backend="xla")
+        d = np.linalg.norm(np.asarray(out[:, 40] - out[:, 8]))
+        assert d > 0.008  # mostly separated in one group
+
+    def test_rest_pose_filter_keeps_lattice_neighbors(self):
+        # lattice neighbors sit at spacing << rest_dist but must NOT be
+        # pushed apart (SelfCollideFilter, NvFlex.h:166)
+        dim = 8
+        pos = grid_positions(dim, dim, lower=(0.0, 0.1, 0.0))
+        P = jnp.asarray(pos.T)
+        w = jnp.full(dim * dim, 100.0)
+        active = jnp.ones(dim * dim, bool)
+        params = SolverParams()
+        out = contact_group(P, P, w, active, params, rest_dist=0.011,
+                            lattice_w=dim, window=8, iterations=8,
+                            backend="xla")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(P), atol=1e-6)
+
+    def test_immobile_particles_fixed(self):
+        P, prev, w, active = self._sorted_setup()
+        params = SolverParams()
+        out = contact_group(P, prev, w, active, params, rest_dist=0.011,
+                            lattice_w=16, window=8, iterations=4,
+                            backend="xla")
+        np.testing.assert_allclose(
+            np.asarray(out[:, 3]), np.asarray(P[:, 3]), atol=0.0)
+
+    def test_inactive_particles_passthrough(self):
+        P, prev, w, active = self._sorted_setup()
+        params = SolverParams()
+        out = contact_group(P, prev, w, active, params, rest_dist=0.011,
+                            lattice_w=16, window=8, iterations=4,
+                            backend="xla")
+        idx = np.where(~np.asarray(active))[0]
+        np.testing.assert_allclose(
+            np.asarray(out[:, idx]), np.asarray(P[:, idx]), atol=0.0)
+
+
+class TestFullStepBackendParity:
     def test_full_step_backend_parity(self):
-        """solver.step(backend='pallas') == solver.step(backend='xla')."""
-        from flingbot_tpu.engine.state import ClothState
-
+        """step(backend='pallas') == step(backend='xla', chebyshev+sort)."""
         topo, params, _, _, _ = setup()
         pos = grid_positions(DIM, DIM, lower=(0.0, 0.2, 0.0))
+        rng = np.random.default_rng(3)
+        pos[:, 1] += rng.random(DIM * DIM).astype(np.float32) * 0.004
         state = ClothState.create(
             pos, np.full(DIM * DIM, DIM * DIM / 0.5, np.float32))
+        kw = dict(substeps=4, iterations=10, self_collision=True,
+                  contact_iterations=4, contact_every=2, contact_window=8)
         f_x = jax.jit(lambda s: solver.step(
-            s, topo, params, self_collision=True))
+            s, topo, params, spring_mode="chebyshev", contact_mode="sort",
+            **kw))
         f_p = jax.jit(lambda s: solver.step(
-            s, topo, params, self_collision=True, backend="pallas",
-            pallas_interpret=True))
+            s, topo, params, spring_mode="chebyshev", backend="pallas",
+            pallas_interpret=True, **kw))
         sx, sp = state, state
-        for _ in range(3):
+        for _ in range(2):
             sx = f_x(sx)
             sp = f_p(sp)
         np.testing.assert_allclose(
@@ -90,8 +234,6 @@ class TestPallasSubstep:
 
     def test_vmap_over_pallas_step(self):
         """Primitives vmap the per-env step — the pallas path must batch."""
-        from flingbot_tpu.engine.state import ClothState
-
         topo, params, _, _, _ = setup()
         pos = grid_positions(DIM, DIM, lower=(0.0, 0.2, 0.0))
         state = ClothState.create(
@@ -99,29 +241,21 @@ class TestPallasSubstep:
         batch = jax.tree_util.tree_map(
             lambda x: jnp.stack([x, x]), state)
         f = jax.jit(jax.vmap(lambda s: solver.step(
-            s, topo, params, self_collision=False, backend="pallas",
-            pallas_interpret=True)))
+            s, topo, params, self_collision=True, backend="pallas",
+            pallas_interpret=True, contact_every=2, iterations=10)))
         out = f(batch)
         ref = jax.jit(lambda s: solver.step(
-            s, topo, params, self_collision=False))(state)
+            s, topo, params, self_collision=True, spring_mode="chebyshev",
+            contact_mode="sort", contact_every=2, iterations=10))(state)
         np.testing.assert_allclose(
             np.asarray(out.positions[0]), np.asarray(ref.positions),
             atol=1e-5)
 
-    def test_masked_inactive_region(self):
-        # dims smaller than the lattice: padding must stay untouched
-        dim, full = 10, DIM
-        topo = build_grid_topology(dim, dim, max_dimx=full, max_dimy=full)
-        params = SolverParams()
-        P = jnp.zeros((3, full, full))
-        P = P.at[1].set(0.1)
-        V = jnp.zeros((3, full, full))
-        w = jnp.full((full, full), 100.0)
-        pvec = pack_params(params, topo).at[0].set(SUB_DT)
-        Po, Vo = pallas_substep(
-            pvec[None], P[None], V[None], w[None],
-            iterations=3, interpret=True)
-        # inactive corner (beyond dim) did not move
-        assert float(Po[0, 1, full - 1, full - 1]) == pytest.approx(0.1)
-        # active region fell
-        assert float(Po[0, 1, 0, 0]) < 0.1
+    def test_aero_on_pallas_raises(self):
+        topo, params, _, _, _ = setup()
+        pos = grid_positions(DIM, DIM, lower=(0.0, 0.2, 0.0))
+        state = ClothState.create(
+            pos, np.full(DIM * DIM, DIM * DIM / 0.5, np.float32))
+        with pytest.raises(NotImplementedError):
+            solver.step(state, topo, SolverParams(), backend="pallas",
+                        aero=True, pallas_interpret=True)

@@ -151,6 +151,21 @@ class TestGridVsMeshPath:
         assert cheb < jac * 0.9  # dramatically stiffer than plain Jacobi
         assert cheb < gs * 1.05  # and on par with Gauss-Seidel
 
+        # the modes are genuinely distinct solvers, not aliases: one step
+        # from the same state must produce different (but close) positions
+        s1 = run_steps(state, topo, 1, self_collision=False,
+                       spring_mode="chebyshev")
+        s2 = run_steps(state, topo, 1, self_collision=False,
+                       spring_mode="gs")
+        s3 = run_steps(state, topo, 1, self_collision=False,
+                       spring_mode="jacobi")
+        d_cheb_gs = np.abs(
+            np.asarray(s1.positions) - np.asarray(s2.positions)).max()
+        d_cheb_jac = np.abs(
+            np.asarray(s1.positions) - np.asarray(s3.positions)).max()
+        assert d_cheb_gs > 1e-7, "chebyshev must not alias gs"
+        assert d_cheb_jac > 1e-7, "chebyshev must not alias jacobi"
+
     def test_gs_is_stiffer_than_jacobi(self):
         state = make_grid_state(height=0.5)
         topo = make_grid_topo()
