@@ -67,14 +67,18 @@ def _shift(a, dy, dx):
 # pipeline (predict / solveSprings / solveContacts / applyDeltas / finalize,
 # NvFlex.h:197-223) at softgym_cloth.h:154-170 settings.
 
-SUB_PARAM_LEN = 20
+SUB_PARAM_LEN = 21
 # [0]=dt_sub [1]=gravity_y [2]=damping [3]=dynamic_friction
 # [4]=collision_distance [5]=relaxation [6]=spacing
 # [7..9]=stiffness(stretch,bend,shear) [10]=dimx [11]=dimy
 # [12]=picker_R (radius+coldist) [13]=cheb_rho2
-# [14..16]=picker0 xyz [17..19]=picker1 xyz
+# [14..16]=picker0 xyz [17..19]=picker1 xyz [20]=max_acceleration
 
 CHEB_DELAY = 2
+# under-relaxation of the Chebyshev update; must equal
+# solver.CHEBYSHEV_GAMMA (the maxAcceleration clamp makes gamma=1 stable,
+# see the note there)
+CHEB_GAMMA = 1.0
 
 
 def _substeps_kernel(param_ref, P_ref, V_ref, w_ref,
@@ -92,6 +96,7 @@ def _substeps_kernel(param_ref, P_ref, V_ref, w_ref,
     dimy = param_ref[0, 11]
     picker_R = param_ref[0, 12]
     rho2 = param_ref[0, 13]
+    a_max = param_ref[0, 20]
 
     P = P_ref[:]  # (3, 1, H, W)
     V = V_ref[:]
@@ -177,11 +182,12 @@ def _substeps_kernel(param_ref, P_ref, V_ref, w_ref,
             def body(it, carry):
                 P, P_prev, omega = carry
                 P_next = jacobi(P)
+                P_damp = CHEB_GAMMA * (P_next - P) + P
                 omega = jnp.where(
                     it < CHEB_DELAY, 1.0,
                     jnp.where(it == CHEB_DELAY, 2.0 / (2.0 - rho2),
                               4.0 / (4.0 - rho2 * omega)))
-                P_acc = omega * (P_next - P_prev) + P_prev
+                P_acc = omega * (P_damp - P_prev) + P_prev
                 P_acc = jnp.where(it < CHEB_DELAY, P_next, P_acc)
                 return (plane(P_acc, prev), P, omega)
 
@@ -209,7 +215,16 @@ def _substeps_kernel(param_ref, P_ref, V_ref, w_ref,
             P = jnp.stack([P[0] + d0 * push, P[1] + d1 * push,
                            P[2] + d2 * push])
 
-        V = jnp.where(mm, (P - prev) / dt, V)
+        # velocity finalize with the acceleration clamp
+        # (NvFlexParams.maxAcceleration, main.cpp:786)
+        V_new = (P - prev) / dt
+        dv0 = V_new[0] - V[0]
+        dv1 = V_new[1] - V[1]
+        dv2 = V_new[2] - V[2]
+        r = jax.lax.rsqrt(dv0 * dv0 + dv1 * dv1 + dv2 * dv2 + _EPS)
+        sc = jnp.minimum(1.0, a_max * dt * r)
+        V = jnp.where(mm, jnp.stack(
+            [V[0] + dv0 * sc, V[1] + dv1 * sc, V[2] + dv2 * sc]), V)
         return (P, V)
 
     if n_sub > 1:
@@ -279,6 +294,7 @@ def pack_sub_params(params, topo, picker_pos, picker_radius, dt_sub,
         jnp.float32(cheb_rho * cheb_rho),
         picker_pos[0, 0], picker_pos[0, 1], picker_pos[0, 2],
         picker_pos[1, 0], picker_pos[1, 1], picker_pos[1, 2],
+        params.max_acceleration,
     ])
 
 

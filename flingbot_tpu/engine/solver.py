@@ -201,6 +201,14 @@ def solve_springs_grid(P, w, valid, topo: GridTopology, relax, mode: str):
 
 CHEBYSHEV_RHO = 0.992  # spectral-radius estimate (Wang 2015 suggests ~0.99)
 CHEBYSHEV_DELAY = 2  # plain Jacobi warm-up iterations
+# under-relaxation of the accelerated update (gamma in Wang 2015 eq. 14).
+# Full-strength Chebyshev without the maxAcceleration clamp is unstable
+# under fling-speed picker drags (measured: heuristic eval coverage 0.07
+# vs 0.54); WITH the clamp (solver finalize, NvFlexParams.maxAcceleration)
+# gamma=1.0 evaluates at GS-parity fling quality (0.51 vs 0.54 +- 0.05)
+# while keeping GS-parity static stiffness (hanging stretch 1.613 vs
+# 1.605).  Keep the knob for experiments.
+CHEBYSHEV_GAMMA = 1.0
 
 
 def _chebyshev_loop(P, iterate_fn, iterations: int, plane_fn):
@@ -215,6 +223,7 @@ def _chebyshev_loop(P, iterate_fn, iterations: int, plane_fn):
     iterate stays feasible.  Mirrors _substeps_kernel's loop exactly (the
     pallas backend is cross-checked against this path in tests)."""
     rho2 = CHEBYSHEV_RHO * CHEBYSHEV_RHO
+    gamma = CHEBYSHEV_GAMMA
 
     def body(k, carry):
         P, P_prev, omega = carry
@@ -223,7 +232,7 @@ def _chebyshev_loop(P, iterate_fn, iterations: int, plane_fn):
             k < CHEBYSHEV_DELAY, 1.0,
             jnp.where(k == CHEBYSHEV_DELAY, 2.0 / (2.0 - rho2),
                       4.0 / (4.0 - rho2 * omega)))
-        P_acc = omega * (P_next - P_prev) + P_prev
+        P_acc = omega * (gamma * (P_next - P) + P - P_prev) + P_prev
         P_acc = jnp.where(k < CHEBYSHEV_DELAY, P_next, P_acc)
         return (plane_fn(P_acc), P, omega)
 
@@ -325,7 +334,14 @@ def _substep(P, V, w, moving_mask, params, dt, iterations, solve_fn,
         P = contact_fn(P, prev)
         P = solve_plane(P, prev, params, moving_mask)
     V_new = (P - prev) / dt
-    V = jnp.where(mm, V_new, V)
+    # acceleration clamp (NvFlexParams.maxAcceleration, main.cpp:786):
+    # caps the velocity change the constraint solve can inject in one
+    # substep — FleX's stabilizer against solver overshoot
+    dv = V_new - V
+    dv_norm = jnp.sqrt(dv[0] ** 2 + dv[1] ** 2 + dv[2] ** 2 + _EPS)
+    dv_max = params.max_acceleration * dt
+    dv = dv * jnp.minimum(1.0, dv_max / dv_norm)[None]
+    V = jnp.where(mm, V + dv, V)
     return P, V
 
 

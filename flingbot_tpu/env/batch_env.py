@@ -77,6 +77,7 @@ class BatchSimEnv:
         sharding=None,
         domain_randomization: bool = True,
         seed: int = 0,
+        dump_visualizations: bool = False,
         **_unused,
     ):
         self.get_task_fn = get_task_fn
@@ -123,12 +124,18 @@ class BatchSimEnv:
         self.timesteps = np.zeros(num_envs, np.int64)
         self.episodes_done = 0
 
+        self.dump_visualizations = dump_visualizations
+        self.record_frames = 256 if dump_visualizations else 0
+        self.record_every = 8
+        self._frames = [[] for _ in range(num_envs)]
         self._vm_step = jax.jit(
             jax.vmap(
                 functools.partial(
                     step_core,
                     primitives=self.action_primitives,
                     prim_cfg=self.prim_cfg,
+                    record_frames=self.record_frames,
+                    record_every=self.record_every,
                     **self.pix,
                     **self.sim_kw,
                 ),
@@ -182,6 +189,7 @@ class BatchSimEnv:
             states.append(state)
             self.memories[i] = Memory()
             self.timesteps[i] = 0
+            self._frames[i] = []
         if self.domain_randomization:
             self._dr_keys = jnp.stack(
                 [self._fresh_dr_key() for _ in range(self.num_envs)])
@@ -195,6 +203,38 @@ class BatchSimEnv:
             self.memories[i].add_value(
                 "pretransform_observations", self._pretransform_obs(i))
         return self.obs.obs_stack  # (B, T, 4, D, D)
+
+    def _write_episode_video(self, i: int):
+        """on_episode_end video parity for one env slot (simEnv.py:782-807;
+        same writer as SimEnv._write_episode_video)."""
+        import os
+
+        import cv2
+
+        from flingbot_tpu.render.rasterizer import render_rgbd
+
+        base = os.path.dirname(self.replay_buffer_path or "") or "."
+        vis_dir = os.path.join(base, "visualizations")
+        os.makedirs(vis_dir, exist_ok=True)
+        path = os.path.join(
+            vis_dir, f"{self.episodes_done:09d}_env{i}.webm")
+        size = 256
+        active = self.state.active[i]
+        key = (self._dr_keys[i] if (self.domain_randomization
+                                    and self._dr_keys is not None) else None)
+        render = jax.jit(jax.vmap(
+            lambda p: render_rgbd(p, active, image_size=size,
+                                  dr_key=key)[0]))
+        writer = cv2.VideoWriter(
+            path, cv2.VideoWriter_fourcc(*"VP90"), 24, (size, size))
+        for chunk in self._frames[i]:
+            if chunk.shape[0] == 0:
+                continue
+            rgb = np.asarray(render(jnp.asarray(chunk)))
+            for f in (rgb * 255).astype(np.uint8):
+                writer.write(f[..., ::-1])
+        writer.release()
+        return path
 
     def _observe(self):
         if self.domain_randomization:
@@ -219,9 +259,17 @@ class BatchSimEnv:
         Device: one vmapped step.  Host: replay logging + per-env resets."""
         vm = jnp.asarray(value_maps)
         prev_obs_stack = np.asarray(self.obs.obs_stack)
-        new_state, sel, pre_cov, post_cov, terminate = self._vm_step(
+        out = self._vm_step(
             self.state, self.topo, self.params, vm, self.obs,
             jnp.asarray(self.rotations))
+        if self.record_frames > 0:
+            (new_state, sel, pre_cov, post_cov, terminate, frames,
+             n_frames) = out
+            nf = np.asarray(n_frames)
+            for b in range(self.num_envs):
+                self._frames[b].append(np.asarray(frames[b][: int(nf[b])]))
+        else:
+            new_state, sel, pre_cov, post_cov, terminate = out
         self.state = new_state
         self._observe()
 
@@ -254,6 +302,9 @@ class BatchSimEnv:
                 float(post_cov[i] - pre_cov[i]), done)
             mem.add_value("next_observations", self._pretransform_obs(i))
             if done:
+                if self.dump_visualizations and self._frames[i]:
+                    self._write_episode_video(i)
+                self._frames[i] = []
                 if self.replay_buffer_path is not None and len(mem):
                     mem.dump(self.replay_buffer_path)
                 self.episodes_done += 1

@@ -70,7 +70,16 @@ def get_current_covered_area(
     cell = jnp.clip(cell, 0, GRID * GRID - 1)
     cell = jnp.where(active[:, None, None], cell, GRID * GRID)
     grid = grid.at[cell.reshape(-1)].max(1.0, mode="drop")
-    return jnp.sum(grid) * span_x * span_z
+    stamped = jnp.sum(grid) * span_x * span_z
+
+    # K_SPAN only covers the per-particle stamp while the cloth AABB extent
+    # is >= ~(K_SPAN-2) cells of 2r; below that (a fully bunched-up wad) the
+    # stamp would undercount, but there the footprint IS the radius-padded
+    # AABB — use it directly instead of silently misreporting.
+    r2 = jnp.float32(2.0 * r)
+    degenerate = (span_x * (K_SPAN - 2) < r2) | (span_z * (K_SPAN - 2) < r2)
+    aabb = (max_x - min_x + r2) * (max_z - min_z + r2)
+    return jnp.where(degenerate, aabb, stamped)
 
 
 get_current_covered_area_jit = jax.jit(get_current_covered_area)

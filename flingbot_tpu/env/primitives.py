@@ -283,6 +283,8 @@ class _Carry(NamedTuple):
     cloth_mid: jnp.ndarray  # (3,)
     stable_steps: jnp.ndarray
     terminate: jnp.ndarray  # bool
+    frames: jnp.ndarray  # (F, cap, 3) recorded positions (F may be 0)
+    frame_idx: jnp.ndarray
 
 
 def run_program(
@@ -301,8 +303,13 @@ def run_program(
     contact_mode: str = "block",
     contact_every: int = 1,
     backend: str = "xla",
+    record_frames: int = 0,
+    record_every: int = 8,
 ):
-    """Execute a primitive program; returns (state, terminate_flag)."""
+    """Execute a primitive program; returns (state, terminate_flag) plus,
+    when record_frames > 0, (frames (F, cap, 3), n_frames): particle
+    snapshots every `record_every` sim steps — the episode-video capture
+    the reference does inside movep (simEnv.py:764-768), decimated."""
     num_instr = program.num_instructions
 
     def active_pos(st):
@@ -448,6 +455,14 @@ def run_program(
 
         st = jax.lax.cond(is_jump_kind, lambda s: s, do_sim, st)
 
+        frames, frame_idx = c.frames, c.frame_idx
+        if record_frames > 0:
+            rec = (~is_jump_kind & (c.total_steps % record_every == 0)
+                   & (frame_idx < record_frames))
+            slot = jnp.where(rec, frame_idx, record_frames)
+            frames = frames.at[slot].set(st.positions, mode="drop")
+            frame_idx = frame_idx + rec.astype(jnp.int32)
+
         return _Carry(
             state=st,
             pc=next_pc,
@@ -463,6 +478,8 @@ def run_program(
             stable_steps=jnp.where((kind == STRETCH) & reached,
                                    stable_next, stable),
             terminate=terminate,
+            frames=frames,
+            frame_idx=frame_idx,
         )
 
     init = _Carry(
@@ -478,8 +495,13 @@ def run_program(
         cloth_mid=jnp.full(3, jnp.inf, jnp.float32),
         stable_steps=jnp.int32(0),
         terminate=jnp.bool_(False),
+        frames=jnp.zeros(
+            (record_frames, state.num_particles, 3), jnp.float32),
+        frame_idx=jnp.int32(0),
     )
     out = jax.lax.while_loop(cond, body, init)
+    if record_frames > 0:
+        return out.state, out.terminate, out.frames, out.frame_idx
     return out.state, out.terminate
 
 

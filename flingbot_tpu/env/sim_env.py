@@ -74,7 +74,8 @@ def _stabilize(state, topo, params, *, substeps, iterations, self_collision,
     static_argnames=("primitives", "prim_cfg", "pix_grasp_dist",
                      "pix_drag_dist", "pix_place_dist", "substeps",
                      "iterations", "self_collision", "spring_mode",
-                     "contact_mode", "contact_every", "backend"),
+                     "contact_mode", "contact_every", "backend",
+                     "record_frames", "record_every"),
 )
 def step_core(
     state,
@@ -95,8 +96,13 @@ def step_core(
     contact_mode: str = "block",
     contact_every: int = 1,
     backend: str = "xla",
+    record_frames: int = 0,
+    record_every: int = 8,
 ):
-    """Device-side env step: action -> primitive -> stabilize -> reward."""
+    """Device-side env step: action -> primitive -> stabilize -> reward.
+
+    With record_frames > 0 also returns (frames, n_frames) captured during
+    primitive execution (episode videos, simEnv.py:764-768)."""
     sel = select_action(
         value_maps, obs, rotations, primitives=primitives,
         pix_grasp_dist=pix_grasp_dist, pix_drag_dist=pix_drag_dist,
@@ -118,14 +124,21 @@ def step_core(
             dist = jnp.linalg.norm(sel.p1_world - sel.p2_world)
             return run_program(
                 st, topo, params, prog, dist, init_fh,
-                max_steps=prim_cfg.max_program_steps, **sim_kw)
+                max_steps=prim_cfg.max_program_steps,
+                record_frames=record_frames, record_every=record_every,
+                **sim_kw)
         return branch
 
     branches = [make_branch(p) for p in primitives]
     if len(branches) == 1:
-        state, prim_term = branches[0](state)
+        out = branches[0](state)
     else:
-        state, prim_term = jax.lax.switch(sel.prim_idx, branches, state)
+        out = jax.lax.switch(sel.prim_idx, branches, state)
+    if record_frames > 0:
+        state, prim_term, frames, n_frames = out
+    else:
+        state, prim_term = out
+        frames, n_frames = None, None
 
     # postaction (simEnv.py:469-477): release, park arms, settle
     state = release_all(state)
@@ -140,6 +153,8 @@ def step_core(
     no_move = disp < NO_MOVE_EPS
     post_cov = get_current_covered_area(state.positions, state.active)
     terminate = prim_term | no_move
+    if record_frames > 0:
+        return state, sel, pre_cov, post_cov, terminate, frames, n_frames
     return state, sel, pre_cov, post_cov, terminate
 
 
@@ -226,6 +241,9 @@ class SimEnv:
         )
         self.params = SolverParams()
 
+        self.record_frames = 384 if dump_visualizations else 0
+        self.record_every = 8
+        self._episode_frames: List[np.ndarray] = []
         self.current_task: Optional[Task] = None
         self.episode_memory = Memory()
         self.current_timestep = 0
@@ -302,7 +320,7 @@ class SimEnv:
         else:
             vm = jnp.asarray(value_maps)
 
-        new_state, sel, pre_cov, post_cov, terminate = step_core(
+        out = step_core(
             self.state, self.topo, self.params, vm, self.obs,
             jnp.asarray(self.rotations),
             primitives=self.action_primitives,
@@ -317,7 +335,16 @@ class SimEnv:
             contact_mode=self.contact_mode,
             contact_every=self.contact_every,
             backend=self.backend,
+            record_frames=self.record_frames,
+            record_every=self.record_every,
         )
+        if self.record_frames > 0:
+            (new_state, sel, pre_cov, post_cov, terminate, frames,
+             n_frames) = out
+            self._episode_frames.append(
+                np.asarray(frames[: int(n_frames)]))
+        else:
+            new_state, sel, pre_cov, post_cov, terminate = out
         self.state = new_state
         self._log_step(sel, vm, float(pre_cov), float(post_cov))
 
@@ -360,9 +387,41 @@ class SimEnv:
 
     def on_episode_end(self):
         self.episode_count += 1
+        if self.dump_visualizations and self._episode_frames:
+            self._write_episode_video()
+        self._episode_frames = []
         if self.replay_buffer_path is not None and len(self.episode_memory):
             self.episode_memory.dump(self.replay_buffer_path)
         self.episode_memory = Memory()
+
+    def _write_episode_video(self):
+        """Render the recorded particle snapshots and write a browser-
+        playable webm next to the replay buffer — on_episode_end parity
+        (simEnv.py:782-807; the reference writes mp4s keyed by episode)."""
+        import os
+
+        import cv2
+
+        from flingbot_tpu.render.rasterizer import render_rgbd
+
+        base = os.path.dirname(self.replay_buffer_path or "") or "."
+        vis_dir = os.path.join(base, "visualizations")
+        os.makedirs(vis_dir, exist_ok=True)
+        path = os.path.join(vis_dir, f"{self.episode_count - 1:09d}.webm")
+        size = 256
+        render = jax.jit(jax.vmap(
+            lambda p: render_rgbd(p, self.state.active, image_size=size,
+                                  dr_key=self.dr_key)[0]))
+        writer = cv2.VideoWriter(
+            path, cv2.VideoWriter_fourcc(*"VP90"), 24, (size, size))
+        for chunk in self._episode_frames:
+            if chunk.shape[0] == 0:
+                continue
+            rgb = np.asarray(render(jnp.asarray(chunk)))
+            for f in (rgb * 255).astype(np.uint8):
+                writer.write(f[..., ::-1])  # RGB -> BGR
+        writer.release()
+        return path
 
     # -- small parity helpers ------------------------------------------
 

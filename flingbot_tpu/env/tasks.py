@@ -12,6 +12,7 @@ crumpling rollout jitted on device.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 from typing import Dict, List, Optional
 
@@ -31,6 +32,7 @@ except ImportError:  # pragma: no cover
 from flingbot_tpu.engine.state import ClothState
 from flingbot_tpu.engine.solver import step as solver_step
 from flingbot_tpu.engine.state import SolverParams
+from flingbot_tpu.engine.topology import build_grid_topology, grid_positions
 from flingbot_tpu.env import scene as scene_mod
 from flingbot_tpu.env.coverage import get_current_covered_area
 
@@ -436,6 +438,229 @@ def _center(state: ClothState) -> ClothState:
     return state.replace(positions=jnp.where(act, p - shift, p))
 
 
+def _crumple_hard_batch(state, topo, params, pick_idx, start, target,
+                        sweep_steps, hold_steps, settle_steps, sim_kw):
+    """Vmapped 'hard' crumple: drag particle `pick_idx` from start to target,
+    hold, release, settle.  All step counts static; per-env pick/target
+    traced.  state/topo are batched pytrees (leading env axis)."""
+
+    def one_env(st, tp, idx, p0, p1):
+        cap = st.num_particles
+        saved_w = st.inv_mass[idx]
+        st = st.replace(inv_mass=st.inv_mass.at[idx].set(0.0))
+
+        def sweep(j, st):
+            p = p0 + (p1 - p0) * (j.astype(jnp.float32) / sweep_steps)
+            st = st.replace(
+                positions=st.positions.at[idx].set(p),
+                velocities=st.velocities.at[idx].set(jnp.zeros(3)),
+            )
+            return solver_step(st, tp, params, **sim_kw)
+
+        st = jax.lax.fori_loop(0, sweep_steps, sweep, st)
+
+        def hold(_, st):
+            st = st.replace(
+                positions=st.positions.at[idx].set(p1),
+                velocities=st.velocities.at[idx].set(jnp.zeros(3)),
+            )
+            return solver_step(st, tp, params, **sim_kw)
+
+        st = jax.lax.fori_loop(0, hold_steps, hold, st)
+        st = st.replace(inv_mass=st.inv_mass.at[idx].set(saved_w))
+
+        def settle_cond(c):
+            st, k = c
+            vmax = jnp.max(jnp.abs(
+                jnp.where(st.active[:, None], st.velocities, 0.0)))
+            return (k < settle_steps) & (vmax >= 1e-2)
+
+        def settle_body(c):
+            st, k = c
+            return solver_step(st, tp, params, **sim_kw), k + 1
+
+        st, _ = jax.lax.while_loop(settle_cond, settle_body,
+                                   (st, jnp.int32(0)))
+        return st
+
+    return jax.vmap(one_env)(state, topo, pick_idx, start, target)
+
+
+def _crumple_easy_batch(state, topo, params, pick_idx, disps,
+                        sweep_steps, settle_steps, sim_kw):
+    """Vmapped 'easy' crumple: 10 random vertex tosses per env
+    (reference tasks.py:225-258).  pick_idx (B, 10) i32; disps (B, 10, 3)."""
+
+    def one_env(st, tp, idxs, ds):
+        def one_toss(st, toss):
+            idx, d = toss
+            saved_w = st.inv_mass[idx]
+            st = st.replace(inv_mass=st.inv_mass.at[idx].set(0.0))
+            p0 = st.positions[idx]
+            p1 = p0 + d
+
+            def sweep(j, st):
+                p = p0 + (p1 - p0) * (j.astype(jnp.float32) / sweep_steps)
+                st = st.replace(
+                    positions=st.positions.at[idx].set(p),
+                    velocities=st.velocities.at[idx].set(jnp.zeros(3)),
+                )
+                return solver_step(st, tp, params, **sim_kw)
+
+            st = jax.lax.fori_loop(0, sweep_steps, sweep, st)
+            st = st.replace(inv_mass=st.inv_mass.at[idx].set(saved_w))
+            return st, None
+
+        st, _ = jax.lax.scan(one_toss, st, (idxs, ds))
+
+        def settle_cond(c):
+            st, k = c
+            vmax = jnp.max(jnp.abs(
+                jnp.where(st.active[:, None], st.velocities, 0.0)))
+            return (k < settle_steps) & (vmax >= 1e-2)
+
+        def settle_body(c):
+            st, k = c
+            return solver_step(st, tp, params, **sim_kw), k + 1
+
+        st, _ = jax.lax.while_loop(settle_cond, settle_body,
+                                   (st, jnp.int32(0)))
+        return st
+
+    return jax.vmap(one_env)(state, topo, pick_idx, disps)
+
+
+def generate_tasks_batch(
+    path: str,
+    num_tasks: int,
+    batch: int = 64,
+    seed: int = 0,
+    min_cloth_size: int = 64,
+    max_cloth_size: int = 104,
+    strict_min_edge_length: int = 64,
+    task_difficulty: str = "hard",
+    max_grid_dim: int = 104,
+    backend: str = "xla",
+    spring_mode: str = "gs",
+    contact_mode: str = "block",
+    contact_every: int = 2,
+    log: bool = True,
+) -> int:
+    """Batched task generation: `batch` crumpling rollouts run as ONE
+    vmapped device program — the TPU replacement for the reference's N Ray
+    workers (tasks.py:466-501).  'hard' (lift-and-drop) and 'easy' (10
+    random tosses) square cloths; fall back to generate_tasks for mesh."""
+    assert task_difficulty in ("hard", "easy")
+    rng = np.random.default_rng(seed)
+    params = SolverParams()
+    sim_kw = dict(substeps=4, iterations=30, self_collision=True,
+                  backend=backend, spring_mode=spring_mode,
+                  contact_mode=contact_mode, contact_every=contact_every)
+    if task_difficulty == "hard":
+        crumple = jax.jit(functools.partial(
+            _crumple_hard_batch, params=params, sweep_steps=200,
+            hold_steps=120, settle_steps=300, sim_kw=sim_kw))
+    else:
+        crumple = jax.jit(functools.partial(
+            _crumple_easy_batch, params=params, sweep_steps=100,
+            settle_steps=300, sim_kw=sim_kw))
+
+    count = 0
+    while count < num_tasks:
+        dims, stiffs, masses = [], [], []
+        while len(dims) < batch:
+            dx = int(rng.integers(min_cloth_size, max_cloth_size))
+            dy = int(rng.integers(min_cloth_size, max_cloth_size))
+            if dx < strict_min_edge_length and dy < strict_min_edge_length:
+                continue
+            dims.append((dx, dy))
+            stiffs.append(rng.uniform(0.85, 0.95, 3))
+            masses.append(float(rng.uniform(0.2, 2.0)))
+
+        topos, states, flat_areas, picks, starts, targets = \
+            [], [], [], [], [], []
+        for (dx, dy), stiff, mass in zip(dims, stiffs, masses):
+            topo = build_grid_topology(
+                dx, dy, stiffness=tuple(float(s) for s in stiff),
+                max_dimx=max_grid_dim, max_dimy=max_grid_dim)
+            n = dx * dy
+            flat = grid_positions(dx, dy, lower=(0.0, 0.00625, 0.0))
+            flat[:, [0, 2]] -= flat[:, [0, 2]].mean(axis=0, keepdims=True)
+            st = ClothState.create(
+                flat, np.full(n, n / mass, np.float32),
+                capacity=max_grid_dim * max_grid_dim)
+            flat_areas.append(float(get_current_covered_area(
+                st.positions, st.active)))
+            if task_difficulty == "hard":
+                pick = int(rng.integers(0, n))
+                height = float(rng.random() * 1.0 + 0.5)
+                p0 = flat[pick].copy()
+                p1 = np.array([p0[0], height, p0[2]], np.float32)
+                picks.append(pick)
+                starts.append(p0)
+                targets.append(p1)
+            else:
+                picks.append(rng.integers(0, n, 10).astype(np.int32))
+                d = rng.uniform(-0.2, 0.2, (10, 3)).astype(np.float32)
+                d[:, 1] = 0.2
+                targets.append(d)
+            topos.append(topo)
+            states.append(st)
+
+        batch_topo = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *topos)
+        batch_state = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *states)
+        if task_difficulty == "hard":
+            out = crumple(batch_state, batch_topo,
+                          pick_idx=jnp.asarray(picks, jnp.int32),
+                          start=jnp.asarray(np.stack(starts)),
+                          target=jnp.asarray(np.stack(targets)))
+        else:
+            out = crumple(batch_state, batch_topo,
+                          pick_idx=jnp.asarray(np.stack(picks)),
+                          disps=jnp.asarray(np.stack(targets)))
+        out = jax.vmap(_center)(out)
+        positions = np.asarray(out.positions)
+        velocities = np.asarray(out.velocities)
+        inv_mass = np.asarray(out.inv_mass)
+        active = np.asarray(out.active)
+        coverages = np.asarray(jax.vmap(get_current_covered_area)(
+            out.positions, out.active))
+
+        for i, (dx, dy) in enumerate(dims):
+            if count >= num_tasks:
+                break
+            n = dx * dy
+            heights = positions[i][active[i], 1]
+            if heights.max() > 0.4:
+                continue  # probably an error (tasks.py:262-265)
+            pos4 = np.concatenate(
+                [positions[i][:n], inv_mass[i][:n, None]], axis=1)
+            write_task(path, {
+                "particle_pos": pos4.reshape(-1),
+                "particle_vel": velocities[i][:n].reshape(-1),
+                "initial_coverage": float(coverages[i]),
+                "shape_pos": np.zeros(2 * 14, np.float32),
+                "phase": np.zeros(n, np.int32),
+                "flatten_area": flat_areas[i],
+                "flip_mesh": 0,
+                "cloth_size": np.array([dx, dy]),
+                "cloth_stiff": stiffs[i],
+                "cloth_mass": masses[i],
+                "task_difficulty": task_difficulty,
+                "mesh_verts": np.array([]),
+                "mesh_stretch_edges": np.array([]),
+                "mesh_bend_edges": np.array([]),
+                "mesh_shear_edges": np.array([]),
+                "mesh_faces": np.array([]),
+            })
+            count += 1
+        if log:
+            print(f"[generate_tasks_batch] {count}/{num_tasks}", flush=True)
+    return count
+
+
 def generate_tasks(
     path: str,
     num_tasks: int,
@@ -455,3 +680,46 @@ def generate_tasks(
         if log:
             print(f"[generate_tasks] {count}/{num_tasks}")
     return count
+
+
+if __name__ == "__main__":
+    # CLI parity with `python environment/tasks.py` (reference
+    # tasks.py:466-501); batched device generation replaces the Ray pool.
+    import argparse
+
+    p = argparse.ArgumentParser("flingbot task generation")
+    p.add_argument("--path", required=True)
+    p.add_argument("--num_tasks", type=int, default=200)
+    p.add_argument("--task_difficulty", default="hard",
+                   choices=["hard", "easy"])
+    p.add_argument("--cloth_type", default="square",
+                   choices=["square", "mesh"])
+    p.add_argument("--cloth_mesh_path", default=None)
+    p.add_argument("--min_cloth_size", type=int, default=64)
+    p.add_argument("--max_cloth_size", type=int, default=104)
+    p.add_argument("--strict_min_edge_length", type=int, default=64)
+    p.add_argument("--max_grid_dim", type=int, default=104)
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--backend", default="xla")
+    p.add_argument("--spring_mode", default="gs")
+    p.add_argument("--contact_mode", default="block")
+    p.add_argument("--sequential", action="store_true",
+                   help="use the per-task generator (required for easy/mesh)")
+    a = p.parse_args()
+
+    if a.cloth_type == "square" and a.task_difficulty == "hard" \
+            and not a.sequential:
+        generate_tasks_batch(
+            a.path, a.num_tasks, batch=a.batch, seed=a.seed,
+            min_cloth_size=a.min_cloth_size, max_cloth_size=a.max_cloth_size,
+            strict_min_edge_length=a.strict_min_edge_length,
+            max_grid_dim=a.max_grid_dim, backend=a.backend,
+            spring_mode=a.spring_mode, contact_mode=a.contact_mode)
+    else:
+        generate_tasks(
+            a.path, a.num_tasks, seed=a.seed,
+            min_cloth_size=a.min_cloth_size, max_cloth_size=a.max_cloth_size,
+            strict_min_edge_length=a.strict_min_edge_length,
+            task_difficulty=a.task_difficulty, cloth_type=a.cloth_type,
+            cloth_mesh_path=a.cloth_mesh_path, max_grid_dim=a.max_grid_dim)

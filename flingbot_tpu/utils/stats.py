@@ -152,5 +152,28 @@ def collect_stats(
                     after = np.asarray(g["next_observations"])[:3]
                     retval["img_before_after"] = np.concatenate(
                         [before, after], axis=2)  # (3, H, 2W)
+                    # action-annotated panel (utils.py:377-390 draws the
+                    # grasp line on the observation)
+                    if "pretransform_pixels" in g:
+                        from flingbot_tpu.utils.vis import draw_action
+
+                        try:
+                            img = np.transpose(before, (1, 2, 0)).copy()
+                            img = draw_action(
+                                img,
+                                str(g.attrs.get("action_primitive",
+                                                "fling")),
+                                np.asarray(g["pretransform_pixels"]),
+                                thickness=2)
+                            retval["img_action"] = np.transpose(
+                                img, (2, 0, 1))
+                        except Exception:
+                            pass
+                    # normalized value-map panel (utils.py:383-388)
+                    if "value_map" in g:
+                        vm = np.asarray(g["value_map"], np.float32)
+                        vm = (vm - vm.min()) / max(vm.max() - vm.min(),
+                                                   1e-9)
+                        retval["img_value_map"] = vm[None]  # (1, D, D)
                     break
             return retval

@@ -196,3 +196,32 @@ class TestRenderer:
         interior = mask[rows.min() + 3: rows.max() - 2,
                         cols.min() + 3: cols.max() - 2]
         assert interior.all()
+
+
+class TestCoverageDegenerateBound:
+    """K_SPAN stamp bound: a fully bunched-up wad (AABB extent below the
+    stamp's reach) must report its radius-padded AABB footprint instead of
+    silently undercounting."""
+
+    def test_tiny_wad_reports_aabb(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from flingbot_tpu.env.coverage import get_current_covered_area
+
+        rng = np.random.default_rng(0)
+        pts = rng.uniform(-0.01, 0.01, (500, 3)).astype(np.float32)
+        area = float(get_current_covered_area(jnp.asarray(pts)))
+        ext_x = pts[:, 0].max() - pts[:, 0].min() + 2 * 0.00625
+        ext_z = pts[:, 2].max() - pts[:, 2].min() + 2 * 0.00625
+        np.testing.assert_allclose(area, ext_x * ext_z, rtol=1e-5)
+
+    def test_normal_cloth_unchanged(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from flingbot_tpu.engine.topology import grid_positions
+        from flingbot_tpu.env.coverage import get_current_covered_area
+
+        pos = grid_positions(64, 64)  # 0.4 m flat cloth
+        area = float(get_current_covered_area(jnp.asarray(pos)))
+        flat = (63 * 0.00625) ** 2
+        assert abs(area - flat) / flat < 0.1  # stamped path, sane value

@@ -272,3 +272,41 @@ class TestSelfCollision:
         bot_y = p[:n, 1]
         # layers must not have merged into one plane
         assert np.median(top_y) - np.median(bot_y) > 0.004
+
+
+class TestLargeRect:
+    """Large-rect eval support (reference README.md:136-141: cloths >= 112
+    particles/edge): the solver + contact group must hold up at a 128
+    lattice cap."""
+
+    def test_step_at_128_cap(self):
+        dim, cap = 120, 128
+        pos = grid_positions(dim, dim, lower=(0.0, 0.05, 0.0))
+        pos[:, [0, 2]] -= pos[:, [0, 2]].mean(axis=0)
+        n = dim * dim
+        state = ClothState.create(
+            pos, np.full(n, n / 1.0, np.float32), capacity=cap * cap)
+        topo = build_grid_topology(dim, dim, max_dimx=cap, max_dimy=cap)
+        fn = jax.jit(lambda s: step(
+            s, topo, SolverParams(), substeps=2, iterations=8,
+            self_collision=True, spring_mode="chebyshev",
+            contact_mode="sort", contact_every=2))
+        s = state
+        for _ in range(3):
+            s = fn(s)
+        p = np.asarray(s.positions)[np.asarray(s.active)]
+        assert np.isfinite(p).all()
+        assert p[:, 1].min() > -1e-3  # fell toward the plane, no blowup
+
+    def test_pallas_interpret_at_128_cap(self):
+        dim, cap = 116, 128
+        pos = grid_positions(dim, dim, lower=(0.0, 0.02, 0.0))
+        n = dim * dim
+        state = ClothState.create(
+            pos, np.full(n, n / 1.0, np.float32), capacity=cap * cap)
+        topo = build_grid_topology(dim, dim, max_dimx=cap, max_dimy=cap)
+        s = jax.jit(lambda s: step(
+            s, topo, SolverParams(), substeps=1, iterations=2,
+            self_collision=True, backend="pallas",
+            pallas_interpret=True, contact_every=1))(state)
+        assert np.isfinite(np.asarray(s.positions)).all()

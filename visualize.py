@@ -24,7 +24,7 @@ def summarize(path: str, num_points: int = 10 ** 9):
     stats = collect_stats(path, num_points=num_points) or {}
     print(f"== Summary of {path} ==")
     for key, value in sorted(stats.items()):
-        if "_steps" in key:
+        if "_steps" in key or "img" in key:
             continue
         if "distribution" in key:
             arr = np.asarray(value)
@@ -50,14 +50,61 @@ def _save_png(path, img):
     return True
 
 
+_SPEED_SLIDER = """
+<div>playback speed <input id="speed" type="range" min="0.25" max="4"
+value="1" step="0.25" oninput="setSpeed(this.value)">
+<span id="speedval">1x</span></div>
+<script>
+function setSpeed(v) {
+  document.getElementById('speedval').innerText = v + 'x';
+  document.querySelectorAll('video').forEach(el => el.playbackRate = v);
+}
+</script>
+"""
+
+
+def _episode_videos(replay_path: str, output_dir: str):
+    """Copy episode webms (written by SimEnv --dump_visualizations) next to
+    the gallery and return {episode_number: filename} — the video page of
+    the reference (visualize.py:193-299)."""
+    import shutil
+
+    src_dir = os.path.join(os.path.dirname(replay_path) or ".",
+                           "visualizations")
+    out = {}
+    if not os.path.isdir(src_dir):
+        return out
+    for fn in sorted(os.listdir(src_dir)):
+        if not fn.endswith((".webm", ".mp4")):
+            continue
+        shutil.copy(os.path.join(src_dir, fn), os.path.join(output_dir, fn))
+        try:
+            out[int(os.path.splitext(fn)[0].split("_")[0])] = fn
+        except ValueError:
+            pass
+    return out
+
+
 def simple_visualize(path: str, output_dir: str = "vis", max_episodes=16):
     os.makedirs(output_dir, exist_ok=True)
+    videos = _episode_videos(path, output_dir)
     rows = []
     with h5py.File(path, "r") as f:
         keys = sorted(f.keys())[: max_episodes * 12]
         for k in keys:
             g = f[k]
             cells = [f"<td>{k}</td>"]
+            try:
+                ep = int(k.split("_")[0])
+            except ValueError:
+                ep = -1
+            last = k.endswith("_last")
+            if last and ep in videos:
+                cells.append(
+                    f'<td><video src="{videos[ep]}" height="160px" controls '
+                    f'autoplay muted loop></video></td>')
+            else:
+                cells.append("<td></td>")
             for field, tag in (("pretransform_observations", "before"),
                                ("next_observations", "after")):
                 if field in g:
@@ -93,7 +140,9 @@ def simple_visualize(path: str, output_dir: str = "vis", max_episodes=16):
             rows.append("<tr>" + "".join(cells) + "</tr>")
     html = (
         "<html><body><h2>flingbot_tpu replay</h2>"
-        "<table border=1><tr><th>step</th><th>before</th><th>after</th>"
+        + (_SPEED_SLIDER if videos else "")
+        + "<table border=1><tr><th>step</th><th>episode video</th>"
+        "<th>before</th><th>after</th>"
         "<th>value map</th><th>coverage</th></tr>"
         + "\n".join(rows) + "</table></body></html>"
     )
