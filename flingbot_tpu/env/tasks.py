@@ -553,6 +553,18 @@ def generate_tasks_batch(
     assert task_difficulty in ("hard", "easy")
     rng = np.random.default_rng(seed)
     params = SolverParams()
+    # resumable: count existing tasks so an interrupted run (or a TPU
+    # worker crash) picks up where it left off
+    import os as _os
+
+    count0 = 0
+    if _os.path.exists(path):
+        with h5py.File(path, "r") as f:
+            count0 = len(f.keys())
+        if count0:
+            print(f"[generate_tasks_batch] resuming: {count0} tasks exist",
+                  flush=True)
+            rng = np.random.default_rng(seed + count0)
     sim_kw = dict(substeps=4, iterations=30, self_collision=True,
                   backend=backend, spring_mode=spring_mode,
                   contact_mode=contact_mode, contact_every=contact_every)
@@ -565,7 +577,7 @@ def generate_tasks_batch(
             _crumple_easy_batch, params=params, sweep_steps=100,
             settle_steps=300, sim_kw=sim_kw))
 
-    count = 0
+    count = count0
     while count < num_tasks:
         dims, stiffs, masses = [], [], []
         while len(dims) < batch:
@@ -708,8 +720,7 @@ if __name__ == "__main__":
                    help="use the per-task generator (required for easy/mesh)")
     a = p.parse_args()
 
-    if a.cloth_type == "square" and a.task_difficulty == "hard" \
-            and not a.sequential:
+    if a.cloth_type == "square" and not a.sequential:
         generate_tasks_batch(
             a.path, a.num_tasks, batch=a.batch, seed=a.seed,
             min_cloth_size=a.min_cloth_size, max_cloth_size=a.max_cloth_size,
