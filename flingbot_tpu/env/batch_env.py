@@ -78,6 +78,7 @@ class BatchSimEnv:
         domain_randomization: bool = True,
         seed: int = 0,
         dump_visualizations: bool = False,
+        env_chunk: int = 32,
         **_unused,
     ):
         self.get_task_fn = get_task_fn
@@ -118,6 +119,14 @@ class BatchSimEnv:
         )
         self.params = SolverParams()
         self.sharding = sharding
+        # device programs run over chunks of <= env_chunk envs: the TPU
+        # runtime kernel-faults on large vmapped while_loop programs
+        # (measured: batch >= 64 crashes the worker, 32 is stable), so the
+        # batch axis is split into several identical-shape program calls —
+        # one compile, sequential dispatch, full-batch throughput.
+        self.env_chunk = min(env_chunk, num_envs) if env_chunk else num_envs
+        assert num_envs % self.env_chunk == 0, \
+            "num_envs must be a multiple of env_chunk"
 
         self.tasks = [None] * num_envs
         self.memories = [Memory() for _ in range(num_envs)]
@@ -179,6 +188,26 @@ class BatchSimEnv:
     def _fresh_dr_key(self):
         return jax.random.PRNGKey(self._dr_rng.randint(2 ** 31))
 
+    def _chunked(self, fn, batched, vm, obs, static, rot):
+        """Apply the vmapped step over env chunks and concat the outputs
+        (see env_chunk note in __init__)."""
+        C = self.env_chunk
+        B = self.num_envs
+        if C >= B:
+            return fn(batched[0], batched[1], static[0], vm, obs, rot)
+        outs = []
+        for s in range(0, B, C):
+            sl = lambda x: x[s:s + C]
+            outs.append(fn(
+                jax.tree_util.tree_map(sl, batched[0]),
+                jax.tree_util.tree_map(sl, batched[1]),
+                static[0],
+                vm[s:s + C],
+                jax.tree_util.tree_map(sl, obs),
+                rot))
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+
     def reset(self):
         """Load a task into every env slot and compute the first obs."""
         topos, states = [], []
@@ -197,7 +226,8 @@ class BatchSimEnv:
         self.state = _tree_stack(states)
         if self.sharding is not None:
             self.state = jax.device_put(self.state, self.sharding)
-        self.state = self._vm_settle(self.state, self.topo)
+        self.state = self._chunked_simple(
+            self._vm_settle, self.state, self.topo)
         self._observe()
         for i in range(self.num_envs):
             self.memories[i].add_value(
@@ -236,16 +266,38 @@ class BatchSimEnv:
         writer.release()
         return path
 
+    def _chunked_simple(self, fn, *batched):
+        C = self.env_chunk
+        B = self.num_envs
+        if C >= B:
+            return fn(*batched)
+        outs = []
+        for s in range(0, B, C):
+            sl = lambda x: x[s:s + C]
+            outs.append(fn(*(jax.tree_util.tree_map(sl, b)
+                             for b in batched)))
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+
     def _observe(self):
+        rot = jnp.asarray(self.rotations)
+        sc = jnp.asarray(self.scale_factors)
+        C = self.env_chunk
+        B = self.num_envs
         if self.domain_randomization:
-            self.obs = self._vm_observe(
-                self.state.positions, self.state.active,
-                jnp.asarray(self.rotations),
-                jnp.asarray(self.scale_factors), self._dr_keys)
+            call = lambda p, a, k: self._vm_observe(p, a, rot, sc, k)
+            args = (self.state.positions, self.state.active, self._dr_keys)
         else:
-            self.obs = self._vm_observe(
-                self.state.positions, self.state.active,
-                jnp.asarray(self.rotations), jnp.asarray(self.scale_factors))
+            call = lambda p, a: self._vm_observe(p, a, rot, sc)
+            args = (self.state.positions, self.state.active)
+        if C >= B:
+            self.obs = call(*args)
+            return
+        outs = []
+        for s in range(0, B, C):
+            outs.append(call(*(x[s:s + C] for x in args)))
+        self.obs = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *outs)
 
     def _pretransform_obs(self, i):
         rgb = np.asarray(self.obs.rgb[i])
@@ -259,9 +311,9 @@ class BatchSimEnv:
         Device: one vmapped step.  Host: replay logging + per-env resets."""
         vm = jnp.asarray(value_maps)
         prev_obs_stack = np.asarray(self.obs.obs_stack)
-        out = self._vm_step(
-            self.state, self.topo, self.params, vm, self.obs,
-            jnp.asarray(self.rotations))
+        out = self._chunked(
+            self._vm_step, (self.state, self.topo), vm, self.obs,
+            static=(self.params,), rot=jnp.asarray(self.rotations))
         if self.record_frames > 0:
             (new_state, sel, pre_cov, post_cov, terminate, frames,
              n_frames) = out
