@@ -88,6 +88,9 @@ def config_parser(parser: ArgumentParser = None) -> ArgumentParser:
     parser.add_argument("--no_self_collision", action="store_true",
                         default=False)
     parser.add_argument("--max_grid_dim", type=int, default=104)
+    parser.add_argument("--env_chunk", type=int, default=16,
+                        help="envs per device program call (the TPU runtime "
+                             "faults on large vmapped while_loop programs)")
     parser.add_argument("--dp_devices", type=int, default=None,
                         help="devices on the dp mesh axis (default: all)")
     return parser
