@@ -216,13 +216,16 @@ def _substeps_kernel(param_ref, P_ref, V_ref, w_ref,
                            P[2] + d2 * push])
 
         # velocity finalize with the acceleration clamp
-        # (NvFlexParams.maxAcceleration, main.cpp:786)
+        # (NvFlexParams.maxAcceleration, main.cpp:786).  Plane-contacted
+        # particles are not clamped — impact deceleration is real physics
+        # (see solver._substep)
         V_new = (P - prev) / dt
         dv0 = V_new[0] - V[0]
         dv1 = V_new[1] - V[1]
         dv2 = V_new[2] - V[2]
         r = jax.lax.rsqrt(dv0 * dv0 + dv1 * dv1 + dv2 * dv2 + _EPS)
         sc = jnp.minimum(1.0, a_max * dt * r)
+        sc = jnp.where(P[1] < coldist * 2.0, 1.0, sc)
         V = jnp.where(mm, jnp.stack(
             [V[0] + dv0 * sc, V[1] + dv1 * sc, V[2] + dv2 * sc]), V)
         return (P, V)

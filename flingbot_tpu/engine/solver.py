@@ -336,12 +336,17 @@ def _substep(P, V, w, moving_mask, params, dt, iterations, solve_fn,
     V_new = (P - prev) / dt
     # acceleration clamp (NvFlexParams.maxAcceleration, main.cpp:786):
     # caps the velocity change the constraint solve can inject in one
-    # substep — FleX's stabilizer against solver overshoot
+    # substep — the stabilizer against spring-solve overshoot (without it
+    # Chebyshev scrambles flings).  Particles in plane contact are NOT
+    # clamped: impact deceleration is real physics, and clamping it makes
+    # dropped cloth slide outward instead of crumpling.
     dv = V_new - V
     dv_norm = jnp.sqrt(dv[0] ** 2 + dv[1] ** 2 + dv[2] ** 2 + _EPS)
     dv_max = params.max_acceleration * dt
-    dv = dv * jnp.minimum(1.0, dv_max / dv_norm)[None]
-    V = jnp.where(mm, V + dv, V)
+    scale = jnp.minimum(1.0, dv_max / dv_norm)
+    in_contact = P[1] < params.collision_distance * 2.0
+    scale = jnp.where(in_contact, 1.0, scale)
+    V = jnp.where(mm, V + dv * scale[None], V)
     return P, V
 
 
