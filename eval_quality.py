@@ -67,6 +67,9 @@ def main():
     p.add_argument("--substeps", type=int, default=4)
     p.add_argument("--iterations", type=int, default=30)
     p.add_argument("--contact_every", type=int, default=2)
+    p.add_argument("--exec_mode", choices=["chunked", "fused"],
+                   default="chunked")
+    p.add_argument("--chunk_steps", type=int, default=64)
     from argparse import BooleanOptionalAction
     p.add_argument("--domain_randomization", action=BooleanOptionalAction,
                    default=True)
@@ -74,12 +77,13 @@ def main():
     args = p.parse_args()
 
     from flingbot_tpu.env.batch_env import BatchSimEnv
-    from flingbot_tpu.env.tasks import TaskLoader
+    from flingbot_tpu.env.tasks import TaskLoader, detect_mesh_caps
 
     import tempfile
 
     replay = tempfile.mktemp(suffix=".hdf5")
     loader = TaskLoader(args.tasks, repeat=True)
+    mesh_caps = detect_mesh_caps(args.tasks)  # shirt sets run batched too
     env = BatchSimEnv(
         get_task_fn=loader.get_next_task,
         replay_buffer_path=replay,
@@ -91,6 +95,7 @@ def main():
         episode_length=args.steps,
         render_dim=args.render_dim,
         max_grid_dim=args.max_grid_dim,
+        mesh_caps=mesh_caps,
         backend=args.backend,
         spring_mode=args.spring_mode,
         contact_mode=args.contact_mode,
@@ -98,6 +103,8 @@ def main():
         iterations=args.iterations,
         contact_every=args.contact_every,
         domain_randomization=args.domain_randomization,
+        exec_mode=args.exec_mode,
+        chunk_steps=args.chunk_steps,
         seed=args.seed,
     )
     policy = None
@@ -135,12 +142,12 @@ def main():
     stats = collect_stats(replay, num_points=10 ** 9) or {}
     out = {"episodes": env.episodes_done,
            "seconds": round(time.time() - t0, 1)}
-    for k in ("final_coverage/hard/mean", "final_coverage/hard/max",
-              "init_coverage/hard/mean", "episode_delta_coverage/hard/mean",
-              "delta_coverage/hard/percent_positive",
-              "final_coverage/easy/mean"):
-        if k in stats:
-            out[k] = round(float(stats[k]), 4)
+    for k, v in sorted(stats.items()):
+        if any(k.startswith(p) and k.endswith(s)
+               for p in ("final_coverage/", "init_coverage/",
+                         "episode_delta_coverage/", "best_coverage/")
+               for s in ("/mean", "/max")) or k.endswith("percent_positive"):
+            out[k] = round(float(v), 4)
     print(json.dumps(out))
 
 

@@ -219,10 +219,14 @@ def pack_lattice_ids(n: int, lattice_w: int, active, immobile):
 
 
 def _contacts_sorted_flat(params, rest_dist, X, Y, Z, PX, PY, PZ, packed,
-                          *, window, iterations):
+                          *, window, iterations, rest=None):
     """XLA reference of pallas_contacts on flat sorted (N,) arrays.
     Semantically identical math (used for cross-checking and as the CPU
-    fallback); wraparound of jnp.roll is masked by in-range tests."""
+    fallback); wraparound of jnp.roll is masked by in-range tests.
+
+    SelfCollideFilter (NvFlex.h:166): grid mode (rest=None) drops lattice-
+    neighbor pairs from the packed ids; mesh mode (rest = sorted (3, N)
+    rest positions) drops pairs whose rest distance is under rest_dist."""
     from flingbot_tpu.engine.pallas_kernels import (
         PACK_IMMOBILE_BIT, PACK_INACTIVE_BIT)
 
@@ -242,10 +246,16 @@ def _contacts_sorted_flat(params, rest_dist, X, Y, Z, PX, PY, PZ, packed,
     static_k = []
     for k in ks:
         in_range = i < n - k
-        lat_xn = jnp.roll(lat_x, -k)
-        lat_yn = jnp.roll(lat_y, -k)
         act_n = jnp.roll(active, -k)
-        nbr = (jnp.abs(lat_xn - lat_x) <= 1) & (jnp.abs(lat_yn - lat_y) <= 1)
+        if rest is None:
+            lat_xn = jnp.roll(lat_x, -k)
+            lat_yn = jnp.roll(lat_y, -k)
+            nbr = ((jnp.abs(lat_xn - lat_x) <= 1)
+                   & (jnp.abs(lat_yn - lat_y) <= 1))
+        else:
+            rd = rest - jnp.roll(rest, -k, axis=1)
+            nbr = (rd[0] * rd[0] + rd[1] * rd[1] + rd[2] * rd[2]
+                   < rest_dist * rest_dist)
         ok = in_range & active & act_n & ~nbr
         wn = jnp.roll(w, -k)
         wsum = w + wn
@@ -306,26 +316,52 @@ def _contacts_sorted_flat(params, rest_dist, X, Y, Z, PX, PY, PZ, packed,
     return jax.lax.fori_loop(0, iterations, one_iter, (X, Y, Z))
 
 
-def contact_group(P, prev, w, active, params, *, rest_dist, lattice_w,
-                  window: int = 16, iterations: int = 8,
-                  backend: str = "pallas", interpret: bool = False):
+def contact_group(P, prev, w, active, params, *, rest_dist, lattice_w=None,
+                  rest_positions=None, window: int = 16,
+                  iterations: int = 8, backend: str = "pallas",
+                  interpret: bool = False):
     """Full self-collision pass: Morton sort -> windowed pair projection
     (with PBD Coulomb particle friction + ground plane, NvFlex.h:105-107,
     165-166 semantics) -> inverse sort.
 
-    P, prev: (3, N) flat lattice layout; w: (N,); active: (N,) bool.
-    Returns P' (3, N).  Assumes uniform particle mass across the cloth
-    (true for all flingbot scenes: softgym_cloth.h:63 sets one mass);
-    grabbed particles (w == 0) are encoded immobile."""
+    P, prev: (3, N) flat layout; w: (N,); active: (N,) bool.  Returns P'
+    (3, N).  Assumes uniform particle mass across the cloth (true for all
+    flingbot scenes: softgym_cloth.h:63 sets one mass); grabbed particles
+    (w == 0) are encoded immobile.
+
+    SelfCollideFilter: pass lattice_w for grid cloths (lattice-neighbor
+    pairs skipped via the packed ids) OR rest_positions (3, N) for meshes
+    (pairs under rest_dist apart in the rest pose skipped; the rest
+    positions ride the same multi-operand sort)."""
+    assert (lattice_w is None) != (rest_positions is None), \
+        "pass exactly one of lattice_w / rest_positions"
     n = P.shape[1]
     cell = jnp.clip(
         jnp.floor(P / rest_dist).astype(jnp.int32) + 512, 0, 1023)
     keys = jnp.where(active, morton_code(cell), INT32_BIG)
     immobile = w <= 0
-    packed = pack_lattice_ids(n, lattice_w, active, immobile)
-    _, xs, ys, zs, pxs, pys, pzs, pk = jax.lax.sort(
-        (keys, P[0], P[1], P[2], prev[0], prev[1], prev[2], packed),
-        dimension=0, num_keys=1)
+    mesh = rest_positions is not None
+    if mesh:
+        from flingbot_tpu.engine.pallas_kernels import (
+            PACK_IMMOBILE_BIT, PACK_INACTIVE_BIT)
+
+        assert n < (1 << PACK_IMMOBILE_BIT), \
+            "mesh packed ids support < 2^20 particles"
+        packed = (jnp.arange(n, dtype=jnp.int32)
+                  | (immobile.astype(jnp.int32) << PACK_IMMOBILE_BIT)
+                  | ((~active).astype(jnp.int32) << PACK_INACTIVE_BIT))
+        operands = (keys, P[0], P[1], P[2], prev[0], prev[1], prev[2],
+                    packed, rest_positions[0], rest_positions[1],
+                    rest_positions[2])
+        (_, xs, ys, zs, pxs, pys, pzs, pk, rx0, ry0, rz0) = jax.lax.sort(
+            operands, dimension=0, num_keys=1)
+        rest_sorted = jnp.stack([rx0, ry0, rz0])
+    else:
+        packed = pack_lattice_ids(n, lattice_w, active, immobile)
+        _, xs, ys, zs, pxs, pys, pzs, pk = jax.lax.sort(
+            (keys, P[0], P[1], P[2], prev[0], prev[1], prev[2], packed),
+            dimension=0, num_keys=1)
+        rest_sorted = None
 
     if backend == "pallas":
         from flingbot_tpu.engine.pallas_kernels import (
@@ -334,15 +370,16 @@ def contact_group(P, prev, w, active, params, *, rest_dist, lattice_w,
         R = 16
         C = -(-n // R)
         pad = R * C - n
+        arrays = [xs, ys, zs, pxs, pys, pzs]
+        if mesh:
+            arrays += [rest_sorted[0], rest_sorted[1], rest_sorted[2]]
         if pad:
             fill = jnp.full(pad, jnp.int32(1 << 21))
             pk_p = jnp.concatenate([pk, fill])
             zf = jnp.zeros(pad, xs.dtype)
-            xs_p, ys_p, zs_p, pxs_p, pys_p, pzs_p = (
-                jnp.concatenate([a, zf]) for a in (xs, ys, zs, pxs, pys, pzs))
+            arrays = [jnp.concatenate([a, zf]) for a in arrays]
         else:
-            pk_p, xs_p, ys_p, zs_p, pxs_p, pys_p, pzs_p = (
-                pk, xs, ys, zs, pxs, pys, pzs)
+            pk_p = pk
         pv = jnp.stack([
             jnp.asarray(rest_dist, jnp.float32),
             jnp.float32(1.0),  # uniform w scale (ratios only)
@@ -351,12 +388,10 @@ def contact_group(P, prev, w, active, params, *, rest_dist, lattice_w,
             params.collision_distance,
             jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
         ])
-        shaped = [a.reshape(R, C) for a in
-                  (xs_p, ys_p, zs_p, pxs_p, pys_p, pzs_p)]
+        shaped = [a.reshape(R, C)[None] for a in arrays]
         ox, oy, oz = pallas_contacts(
-            pv[None], shaped[0][None], shaped[1][None], shaped[2][None],
-            shaped[3][None], shaped[4][None], shaped[5][None],
-            pk_p.reshape(R, C)[None],
+            pv[None], *shaped[:6], pk_p.reshape(R, C)[None],
+            rests=(shaped[6:9] if mesh else None),
             window=window, iterations=iterations, interpret=interpret)
         ox = ox[0].reshape(-1)[:n]
         oy = oy[0].reshape(-1)[:n]
@@ -364,9 +399,12 @@ def contact_group(P, prev, w, active, params, *, rest_dist, lattice_w,
     else:
         ox, oy, oz = _contacts_sorted_flat(
             params, rest_dist, xs, ys, zs, pxs, pys, pzs, pk,
-            window=window, iterations=iterations)
+            window=window, iterations=iterations, rest=rest_sorted)
 
-    key_inv = ((pk >> 8) & 0xFFF) * lattice_w + (pk & 0xFF)
+    if mesh:
+        key_inv = pk & ((1 << 20) - 1)
+    else:
+        key_inv = ((pk >> 8) & 0xFFF) * lattice_w + (pk & 0xFF)
     _, rx, ry, rz = jax.lax.sort((key_inv, ox, oy, oz), dimension=0,
                                  num_keys=1)
     return jnp.stack([rx, ry, rz])

@@ -83,8 +83,16 @@ CHEB_GAMMA = 1.0
 
 def _substeps_kernel(param_ref, P_ref, V_ref, w_ref,
                      out_P_ref, out_V_ref, out_prev_ref,
-                     *, H, W, n_sub, iterations, cheb):
-    """n_sub XPBD substeps for ONE env; arrays (3, 1, H, W) / (1, H, W)."""
+                     *, H, W, n_sub, iterations, cheb, picker_last):
+    """n_sub XPBD substeps for ONE env; arrays (3, 1, H, W) / (1, H, W).
+
+    Substep ordering matches solver._substep + _run_substeps exactly:
+    integrate -> iterate (springs + plane) -> velocity finalize with the
+    maxAcceleration clamp (spring-phase only; see the deviation note in
+    solver._substep) -> picker spheres POSITION-ONLY.  When
+    picker_last=False the last substep's picker push is omitted so the
+    caller can insert the contact group first (contacts -> plane ->
+    unclamped velocity add -> picker, the solver._substep order)."""
     dt = param_ref[0, 0]
     gravity_y = param_ref[0, 1]
     damping = param_ref[0, 2]
@@ -169,9 +177,8 @@ def _substeps_kernel(param_ref, P_ref, V_ref, w_ref,
             1.0, mu * jnp.maximum(pen, 0.0) / t_norm)
         return jnp.stack([P[0] - dx_ * f, P[1] + dy_, P[2] - dz_ * f])
 
-    def one_substep(_, carry):
-        P, V = carry
-        # integrate
+    def integrate_iterate(P, V):
+        """integrate -> constraint iterations (springs + plane)."""
         V = jnp.stack([V[0], V[1] + dt * gravity_y, V[2]])
         V = V * jnp.maximum(0.0, 1.0 - damping * dt)
         V = jnp.where(mm, V, 0.0)
@@ -198,9 +205,27 @@ def _substeps_kernel(param_ref, P_ref, V_ref, w_ref,
                 return plane(jacobi(P), prev)
 
             P = jax.lax.fori_loop(0, iterations, body, P)
+        return P, V, prev
 
-        # picker spheres (reference adds pickers as FleX sphere shapes,
-        # flex_utils.py:83)
+    def clamp_finalize(P, V, prev):
+        """Velocity finalize with the acceleration clamp
+        (NvFlexParams.maxAcceleration, main.cpp:786; plane-contacted
+        particles are not clamped, and the clamp covers the SPRING phase
+        only — see the deviation note in solver._substep)."""
+        V_new = (P - prev) / dt
+        dv0 = V_new[0] - V[0]
+        dv1 = V_new[1] - V[1]
+        dv2 = V_new[2] - V[2]
+        r = jax.lax.rsqrt(dv0 * dv0 + dv1 * dv1 + dv2 * dv2 + _EPS)
+        sc = jnp.minimum(1.0, a_max * dt * r)
+        sc = jnp.where(P[1] < coldist * 2.0, 1.0, sc)
+        return jnp.where(mm, jnp.stack(
+            [V[0] + dv0 * sc, V[1] + dv1 * sc, V[2] + dv2 * sc]), V)
+
+    def picker_push(P):
+        """Picker spheres POSITION-ONLY (FleX sphere shapes,
+        flex_utils.py:83; solver._run_substeps applies them after the
+        velocity update)."""
         for k in range(2):
             c0 = param_ref[0, 14 + 3 * k]
             c1 = param_ref[0, 15 + 3 * k]
@@ -214,26 +239,20 @@ def _substeps_kernel(param_ref, P_ref, V_ref, w_ref,
             push = jnp.where((pen > 0) & moving, pen * r, 0.0)
             P = jnp.stack([P[0] + d0 * push, P[1] + d1 * push,
                            P[2] + d2 * push])
+        return P
 
-        # velocity finalize with the acceleration clamp
-        # (NvFlexParams.maxAcceleration, main.cpp:786).  Plane-contacted
-        # particles are not clamped — impact deceleration is real physics
-        # (see solver._substep)
-        V_new = (P - prev) / dt
-        dv0 = V_new[0] - V[0]
-        dv1 = V_new[1] - V[1]
-        dv2 = V_new[2] - V[2]
-        r = jax.lax.rsqrt(dv0 * dv0 + dv1 * dv1 + dv2 * dv2 + _EPS)
-        sc = jnp.minimum(1.0, a_max * dt * r)
-        sc = jnp.where(P[1] < coldist * 2.0, 1.0, sc)
-        V = jnp.where(mm, jnp.stack(
-            [V[0] + dv0 * sc, V[1] + dv1 * sc, V[2] + dv2 * sc]), V)
-        return (P, V)
+    def one_substep(_, carry):
+        P, V = carry
+        P, V, prev = integrate_iterate(P, V)
+        V = clamp_finalize(P, V, prev)
+        return picker_push(P), V
 
     if n_sub > 1:
         P, V = jax.lax.fori_loop(0, n_sub - 1, one_substep, (P, V))
-    prev_last = P
-    P, V = one_substep(n_sub - 1, (P, V))
+    P, V, prev_last = integrate_iterate(P, V)
+    V = clamp_finalize(P, V, prev_last)
+    if picker_last:
+        P = picker_push(P)
 
     out_P_ref[:] = P
     out_V_ref[:] = V
@@ -242,19 +261,23 @@ def _substeps_kernel(param_ref, P_ref, V_ref, w_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_sub", "iterations", "cheb", "interpret"),
+    static_argnames=("n_sub", "iterations", "cheb", "picker_last",
+                     "interpret"),
 )
 def pallas_substeps(params_vec, P, V, w, *, n_sub, iterations: int = 30,
-                    cheb: bool = True, interpret: bool = False):
-    """n_sub fused XPBD substeps (springs+plane+picker+finalize) per env.
+                    cheb: bool = True, picker_last: bool = True,
+                    interpret: bool = False):
+    """n_sub fused XPBD substeps (springs+plane+finalize+picker) per env.
 
     params_vec (B, SUB_PARAM_LEN) f32; P, V (B, 3, H, W); w (B, H, W).
     Returns (P', V', prev_last) where prev_last is the position at the
-    start of the LAST substep (callers need it to re-finalize velocities
-    after an external contact projection)."""
+    start of the LAST substep.  With picker_last=False the last substep
+    omits the picker push so the caller can insert the contact projection
+    first (exact solver._substep ordering)."""
     B, _, H, W = P.shape
     kernel = functools.partial(_substeps_kernel, H=H, W=W, n_sub=n_sub,
-                               iterations=iterations, cheb=cheb)
+                               iterations=iterations, cheb=cheb,
+                               picker_last=picker_last)
     Pt = jnp.swapaxes(P, 0, 1)  # (3, B, H, W)
     Vt = jnp.swapaxes(V, 0, 1)
     blk3 = pl.BlockSpec((3, 1, H, W), lambda b: (0, b, 0, 0),
@@ -329,15 +352,19 @@ def _folded_shift(x, k, C, sub_rolled=None):
 
 def _contacts_kernel(param_ref, x_ref, y_ref, z_ref,
                      px_ref, py_ref, pz_ref, packed_ref,
-                     ox_ref, oy_ref, oz_ref,
-                     *, R, C, window, iterations):
+                     *refs, R, C, window, iterations, mesh=False):
     """Self-collision contact projection in Morton-sorted order for ONE env.
 
     All arrays are (1, R, C): the sorted (N,) order reshaped row-major, so
     sorted slot i lives at [i // C, i % C].  Pairs (i, i+k) for k=1..window
     are tested per iteration; the rest-pose SelfCollideFilter
     (NvFlex.h:166) drops lattice-neighbor pairs via the packed lattice
-    coordinates."""
+    coordinates (grid mode) or pairs under rest_dist apart in the rest pose
+    (mesh mode: three extra sorted rest-coordinate inputs)."""
+    if mesh:
+        rx_ref, ry_ref, rz_ref, ox_ref, oy_ref, oz_ref = refs
+    else:
+        ox_ref, oy_ref, oz_ref = refs
     rest_d = param_ref[0, 0]
     w_uni = param_ref[0, 1]
     mu_p = param_ref[0, 2]
@@ -353,7 +380,7 @@ def _contacts_kernel(param_ref, x_ref, y_ref, z_ref,
     pk = packed_ref[:]
 
     lat_x = pk & 0xFF
-    lat_y = (pk >> 8) & 0xFF
+    lat_y = (pk >> 8) & 0xFFF  # bits 8-19 (pack_lattice_ids)
     immobile = ((pk >> PACK_IMMOBILE_BIT) & 1) > 0
     inactive = ((pk >> PACK_INACTIVE_BIT) & 1) > 0
     active = ~inactive
@@ -372,21 +399,28 @@ def _contacts_kernel(param_ref, x_ref, y_ref, z_ref,
 
     pk_s = sub_roll(pk)
     w_s = sub_roll(w)
-    lx_s = sub_roll(lat_x)
-    ly_s = sub_roll(lat_y)
     PX_s, PY_s, PZ_s = sub_roll(PX), sub_roll(PY), sub_roll(PZ)
     act_s = sub_roll(active.astype(jnp.int32))
+    if mesh:
+        RX, RY, RZ = rx_ref[:], ry_ref[:], rz_ref[:]
+        RX_s, RY_s, RZ_s = sub_roll(RX), sub_roll(RY), sub_roll(RZ)
 
     ks = list(range(1, window + 1))
     static_k = []
     for k in ks:
         in_range = i_flat < N - k
-        pk_n = _folded_shift(pk, k, C, pk_s)
-        lat_xn = pk_n & 0xFF
-        lat_yn = (pk_n >> 8) & 0xFF
         act_n = _folded_shift(active.astype(jnp.int32), k, C, act_s) > 0
-        nbr = ((jnp.abs(lat_xn - lat_x) <= 1)
-               & (jnp.abs(lat_yn - lat_y) <= 1))
+        if mesh:
+            rd0 = RX - _folded_shift(RX, k, C, RX_s)
+            rd1 = RY - _folded_shift(RY, k, C, RY_s)
+            rd2 = RZ - _folded_shift(RZ, k, C, RZ_s)
+            nbr = rd0 * rd0 + rd1 * rd1 + rd2 * rd2 < rest_d * rest_d
+        else:
+            pk_n = _folded_shift(pk, k, C, pk_s)
+            lat_xn = pk_n & 0xFF
+            lat_yn = (pk_n >> 8) & 0xFFF  # bits 8-19 (pack_lattice_ids)
+            nbr = ((jnp.abs(lat_xn - lat_x) <= 1)
+                   & (jnp.abs(lat_yn - lat_y) <= 1))
         ok = in_range & active & act_n & ~nbr
         wn = _folded_shift(w, k, C, w_s)
         wsum = w + wn
@@ -481,24 +515,31 @@ def _contacts_kernel(param_ref, x_ref, y_ref, z_ref,
     static_argnames=("window", "iterations", "interpret"),
 )
 def pallas_contacts(params_vec, xs, ys, zs, pxs, pys, pzs, packed,
-                    *, window: int = 16, iterations: int = 8,
+                    rests=None, *, window: int = 16, iterations: int = 8,
                     interpret: bool = False):
     """Contact projection on Morton-sorted, (B, R, C) row-major-folded
-    positions.  Returns updated (xs, ys, zs)."""
+    positions.  Returns updated (xs, ys, zs).  Pass rests = (rx, ry, rz)
+    sorted rest coordinates for the mesh-mode SelfCollideFilter."""
     B, R, C = xs.shape
+    mesh = rests is not None
     kernel = functools.partial(_contacts_kernel, R=R, C=C, window=window,
-                               iterations=iterations)
+                               iterations=iterations, mesh=mesh)
     blk = pl.BlockSpec((1, R, C), lambda b: (b, 0, 0),
                        memory_space=pltpu.VMEM)
+    inputs = [params_vec, xs, ys, zs, pxs, pys, pzs, packed]
+    n_blk = 7
+    if mesh:
+        inputs += list(rests)
+        n_blk += 3
     out = pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, CONTACT_PARAM_LEN), lambda b: (b, 0),
                          memory_space=pltpu.SMEM),
-        ] + [blk] * 7,
+        ] + [blk] * n_blk,
         out_specs=[blk] * 3,
         out_shape=[jax.ShapeDtypeStruct(xs.shape, xs.dtype)] * 3,
         interpret=interpret,
-    )(params_vec, xs, ys, zs, pxs, pys, pzs, packed)
+    )(*inputs)
     return out

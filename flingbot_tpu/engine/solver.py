@@ -329,17 +329,20 @@ def _substep(P, V, w, moving_mask, params, dt, iterations, solve_fn,
             return P
 
         P = jax.lax.fori_loop(0, iterations, body, P, unroll=False)
-    # contacts once per substep from the per-step neighbor structure
-    if contact_fn is not None:
-        P = contact_fn(P, prev)
-        P = solve_plane(P, prev, params, moving_mask)
-    V_new = (P - prev) / dt
     # acceleration clamp (NvFlexParams.maxAcceleration, main.cpp:786):
-    # caps the velocity change the constraint solve can inject in one
-    # substep — the stabilizer against spring-solve overshoot (without it
-    # Chebyshev scrambles flings).  Particles in plane contact are NOT
-    # clamped: impact deceleration is real physics, and clamping it makes
-    # dropped cloth slide outward instead of crumpling.
+    # caps the velocity change the SPRING solve can inject in one substep —
+    # the stabilizer against Chebyshev overshoot (without it fling-speed
+    # drags scramble the cloth).  Deliberate deviations from FleX's blanket
+    # end-of-step clamp, both measured (round 2/3):
+    #   * plane-contacted particles are exempt — clamping floor-impact
+    #     deceleration makes dropped cloth slide outward instead of
+    #     crumpling (eval sets degenerate to ~0.6 init coverage);
+    #   * the clamp runs BEFORE the self-collision projection and the
+    #     contact delta is added unclamped — pile-impact deceleration is
+    #     equally real physics, and clamping it softens crumpling (hard-set
+    #     init/flatten 0.48 clamped vs reference-grade ~0.32) and loses
+    #     fling quality (QA 0.545 vs 0.570).
+    V_new = (P - prev) / dt
     dv = V_new - V
     dv_norm = jnp.sqrt(dv[0] ** 2 + dv[1] ** 2 + dv[2] ** 2 + _EPS)
     dv_max = params.max_acceleration * dt
@@ -347,6 +350,13 @@ def _substep(P, V, w, moving_mask, params, dt, iterations, solve_fn,
     in_contact = P[1] < params.collision_distance * 2.0
     scale = jnp.where(in_contact, 1.0, scale)
     V = jnp.where(mm, V + dv * scale[None], V)
+    # self-collision once per substep from the per-step neighbor structure;
+    # its velocity contribution is NOT clamped (see above)
+    if contact_fn is not None:
+        P2 = contact_fn(P, prev)
+        P2 = solve_plane(P2, prev, params, moving_mask)
+        V = jnp.where(mm, V + (P2 - P) / dt, V)
+        P = P2
     return P, V
 
 
@@ -414,8 +424,9 @@ def step(
         )
     return _step_mesh(
         state, topo, params, substeps, iterations, self_collision,
-        contact_mode, contact_iterations, contact_every, resort_interval,
-        picker_radius,
+        spring_mode, contact_mode, contact_iterations, contact_every,
+        resort_interval, picker_radius, backend, pallas_interpret,
+        contact_window,
     )
 
 
@@ -445,12 +456,16 @@ def _step_grid_pallas(Pl, Vl, wl, valid, moving, state, topo, params,
                       picker_radius, interpret):
     """Round-2 fused pipeline: `pallas_substeps` launches (contact_every
     substeps per launch: integrate + Chebyshev-Jacobi springs + ground
-    plane + picker spheres + velocity finalize, all VMEM-resident)
+    plane + velocity finalize + picker spheres, all VMEM-resident)
     interleaved with sort-based contact groups (collisions.contact_group ->
     pallas_contacts kernel + two multi-operand lax.sorts).
 
     Implements the NvFlexUpdateSolver substep pipeline (NvFlex.h:197-223)
-    with self-collision solved once per `contact_every` substeps."""
+    with self-collision solved once per `contact_every` substeps.  The
+    contact-substep ordering matches solver._substep EXACTLY: springs ->
+    clamped velocity finalize (spring phase only) -> contacts -> plane ->
+    unclamped velocity add -> picker spheres position-only (the kernel
+    defers the last substep's picker via picker_last=False)."""
     from flingbot_tpu.engine.pallas_kernels import (
         pack_sub_params, pallas_substeps)
 
@@ -471,19 +486,22 @@ def _step_grid_pallas(Pl, Vl, wl, valid, moving, state, topo, params,
         Pn, Vn, prevL = pallas_substeps(
             pvec[None], Pl[None], Vl[None], wl[None],
             n_sub=n_sub, iterations=iterations, cheb=cheb,
-            interpret=interpret)
+            picker_last=not self_collision, interpret=interpret)
         Pl, Vl, prevL = Pn[0], Vn[0], prevL[0]
         if self_collision:
+            # contacts -> plane -> unclamped velocity add -> picker (same
+            # as _substep + _run_substeps; the kernel already applied the
+            # spring-phase clamp)
             P2 = collisions.contact_group(
                 Pl.reshape(3, -1), prevL.reshape(3, -1), wl.reshape(-1),
                 flat_valid, params, rest_dist=params.radius, lattice_w=W,
                 window=contact_window, iterations=contact_iterations,
                 backend="pallas", interpret=interpret,
             ).reshape(3, H, W)
-            P2 = solve_picker_spheres(P2, state.picker_pos, picker_radius,
-                                      params, moving)
+            P2 = solve_plane(P2, prevL, params, moving)
             Vl = jnp.where(mm, Vl + (P2 - Pl) / dt_sub, Vl)
-            Pl = P2
+            Pl = solve_picker_spheres(P2, state.picker_pos, picker_radius,
+                                      params, moving)
     return Pl, Vl
 
 
@@ -581,8 +599,15 @@ def _step_grid(state, topo, params, substeps, iterations, self_collision,
 
 
 def _step_mesh(state, topo, params, substeps, iterations, self_collision,
-               contact_mode, contact_iterations, contact_every,
-               resort_interval, picker_radius):
+               spring_mode, contact_mode, contact_iterations, contact_every,
+               resort_interval, picker_radius, backend="xla",
+               pallas_interpret=False, contact_window=16):
+    """Mesh (shirt) step — solver parity with the grid path: Jacobi + local
+    relaxation, optionally Chebyshev-accelerated (spring_mode "gs" and
+    "chebyshev" both map to the accelerated loop; meshes have no stencil
+    coloring, so plain "jacobi" is the only unaccelerated mode), and the
+    same sort-based contact group (contact_mode "sort", grid's production
+    path) with the rest-distance SelfCollideFilter (NvFlex.h:166)."""
     P = state.positions.T  # (3, N)
     V = state.velocities.T
     w = jnp.where(state.active, state.inv_mass, 0.0)
@@ -591,7 +616,17 @@ def _step_mesh(state, topo, params, substeps, iterations, self_collision,
     contact_fn = None
     perm = inv_perm = None
     if self_collision:
-        if contact_mode in ("sweep", "block"):
+        if contact_mode == "sort":
+            rest_flat = topo.rest_positions.T
+
+            def contact_fn(Px, prev):
+                return collisions.contact_group(
+                    Px, prev, w, state.active, params,
+                    rest_dist=params.radius, rest_positions=rest_flat,
+                    window=contact_window, iterations=contact_iterations,
+                    backend=("pallas" if backend == "pallas" else "xla"),
+                    interpret=pallas_interpret)
+        elif contact_mode in ("sweep", "block"):
             perm, inv_perm = _cached_sweep_order(
                 state, P, state.active, params.radius, resort_interval)
             rest_sorted = topo.rest_positions.T[:, perm]
@@ -608,18 +643,24 @@ def _step_mesh(state, topo, params, substeps, iterations, self_collision,
                     Px, w, moving, perm, inv_perm, params,
                     rest_dist=params.radius, rest_sorted=rest_sorted,
                     active=state.active, prev=prev)
-        else:
+        elif contact_mode == "table":
             nbr_idx, nbr_mask = collisions.find_neighbors_hash(
                 P, moving, params.radius, topo.rest_positions.T)
             contact_fn = lambda Px, prev: collisions.solve_contacts(
                 Px, w, moving, nbr_idx, nbr_mask, rest_dist=params.radius)
+        else:
+            raise ValueError(
+                f"unknown mesh contact_mode {contact_mode!r} "
+                "(use sort/sweep/block/table)")
 
+    if spring_mode not in ("gs", "chebyshev", "jacobi"):
+        raise ValueError(f"unknown mesh spring_mode {spring_mode!r}")
     solve_fn = lambda Px: solve_springs_mesh(Px, w, topo,
                                              params.relaxation_factor)
-    solve_fn.chebyshev = False
     P, V = _run_substeps(
         P, V, w, moving, params, substeps, iterations, solve_fn,
         contact_fn, state.picker_pos, picker_radius, None, contact_every,
+        chebyshev=(spring_mode in ("gs", "chebyshev")),
     )
     return state.replace(
         positions=P.T, velocities=V.T, time=state.time + params.dt,

@@ -168,10 +168,7 @@ def load_cloth(path: str):
     vertices = np.array(vertices, np.float64)
     faces = np.array(faces, np.int64)
 
-    tri = np.concatenate(
-        [faces[:, [0, 1, 2]], faces[:, [0, 2, 3]]], axis=0
-    )
-    # interleave to match (f0_t0, f0_t1, f1_t0, ...) ordering
+    # interleaved (f0_t0, f0_t1, f1_t0, ...) triangle ordering
     tri = np.stack([faces[:, [0, 1, 2]], faces[:, [0, 2, 3]]], axis=1).reshape(-1, 3)
 
     def as_sorted_set(pairs):

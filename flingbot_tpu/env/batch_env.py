@@ -25,9 +25,14 @@ import numpy as np
 
 from flingbot_tpu.engine.state import SolverParams
 from flingbot_tpu.env.observation import compute_observation
-from flingbot_tpu.env.primitives import PrimitiveConfig
+from flingbot_tpu.env.primitives import PrimitiveConfig, program_chunk
 from flingbot_tpu.env.scene import set_scene
-from flingbot_tpu.env.sim_env import PARK_PICKERS, step_core
+from flingbot_tpu.env.sim_env import (
+    PARK_PICKERS,
+    step_begin,
+    step_core,
+    step_finish,
+)
 from flingbot_tpu.env.coverage import get_current_covered_area
 from flingbot_tpu.engine.solver import step as solver_step
 from flingbot_tpu.learning.memory import Memory
@@ -74,11 +79,14 @@ class BatchSimEnv:
         substeps: int = 4,
         iterations: int = 30,
         max_grid_dim: int = 104,
+        mesh_caps=None,
         sharding=None,
         domain_randomization: bool = True,
         seed: int = 0,
         dump_visualizations: bool = False,
-        env_chunk: int = 32,
+        env_chunk: Optional[int] = None,
+        exec_mode: str = "chunked",
+        chunk_steps: int = 64,
         **_unused,
     ):
         self.get_task_fn = get_task_fn
@@ -111,6 +119,7 @@ class BatchSimEnv:
             contact_every=contact_every, backend=backend,
             substeps=substeps, iterations=iterations)
         self.max_grid_dim = max_grid_dim
+        self.mesh_caps = mesh_caps
         self.prim_cfg = PrimitiveConfig(
             grasp_height=grasp_height,
             fling_speed=fling_speed,
@@ -119,18 +128,34 @@ class BatchSimEnv:
         )
         self.params = SolverParams()
         self.sharding = sharding
-        # device programs run over chunks of <= env_chunk envs: the TPU
-        # runtime kernel-faults on large vmapped while_loop programs
-        # (measured: batch >= 64 crashes the worker, 32 is stable), so the
-        # batch axis is split into several identical-shape program calls —
-        # one compile, sequential dispatch, full-batch throughput.
+        # Two executions of the device step:
+        #   * "chunked" (default): host-driven chunks of <= chunk_steps sim
+        #     steps per device call (primitives.program_chunk).  Bounded
+        #     per-call wall time is what prevents the round-2 TPU worker
+        #     kernel fault on long-running programs, so the whole batch can
+        #     run as one program (env_chunk defaults to num_envs).
+        #   * "fused": the round-2 single-while_loop step (step_core); the
+        #     batch axis is split over <= env_chunk envs per call (default
+        #     32 — larger fused programs ran long enough to crash the TPU
+        #     worker) — one compile, sequential dispatch.
+        assert exec_mode in ("chunked", "fused")
+        self.exec_mode = exec_mode
+        self.chunk_steps = int(chunk_steps)
+        if env_chunk is None:
+            env_chunk = num_envs if exec_mode == "chunked" else 32
         self.env_chunk = min(env_chunk, num_envs) if env_chunk else num_envs
-        assert num_envs % self.env_chunk == 0, \
-            "num_envs must be a multiple of env_chunk"
+        if num_envs % self.env_chunk != 0:
+            # round down to a divisor instead of aborting (a ragged final
+            # chunk would need a second program shape / padding)
+            c = self.env_chunk
+            while num_envs % c != 0:
+                c -= 1
+            self.env_chunk = c
 
         self.tasks = [None] * num_envs
         self.memories = [Memory() for _ in range(num_envs)]
         self.timesteps = np.zeros(num_envs, np.int64)
+        self.init_coverage = np.zeros(num_envs, np.float64)
         self.episodes_done = 0
 
         self.dump_visualizations = dump_visualizations
@@ -149,6 +174,38 @@ class BatchSimEnv:
                     **self.sim_kw,
                 ),
                 in_axes=(0, 0, None, 0, 0, None),
+            )
+        )
+        # chunked-execution trio (see exec_mode note above)
+        self._vm_begin = jax.jit(
+            jax.vmap(
+                functools.partial(
+                    step_begin,
+                    primitives=self.action_primitives,
+                    prim_cfg=self.prim_cfg,
+                    record_frames=self.record_frames,
+                    **self.pix,
+                ),
+                in_axes=(0, 0, None, 0, 0, None),
+            )
+        )
+        self._vm_chunk = jax.jit(
+            jax.vmap(
+                functools.partial(
+                    program_chunk,
+                    chunk_steps=self.chunk_steps,
+                    max_steps=self.prim_cfg.max_program_steps,
+                    record_frames=self.record_frames,
+                    record_every=self.record_every,
+                    **self.sim_kw,
+                ),
+                in_axes=(0, 0, None, 0),
+            )
+        )
+        self._vm_finish = jax.jit(
+            jax.vmap(
+                functools.partial(
+                    step_finish, record_frames=self.record_frames),
             )
         )
         self.domain_randomization = domain_randomization
@@ -180,8 +237,12 @@ class BatchSimEnv:
     # ------------------------------------------------------------------
 
     def _load_scene(self, task):
+        """Grid OR mesh (shirt) task -> (topo, state).  All envs in one
+        batch must share a topology type (mesh tasks additionally share the
+        static mesh_caps bucket so their pytrees stack)."""
         scene = set_scene(task.get_config(), task.get_state(),
-                          max_grid_dim=self.max_grid_dim)
+                          max_grid_dim=self.max_grid_dim,
+                          mesh_caps=self.mesh_caps)
         state = scene.state.replace(picker_pos=jnp.asarray(PARK_PICKERS))
         return scene.topo, state
 
@@ -228,6 +289,8 @@ class BatchSimEnv:
             self.state = jax.device_put(self.state, self.sharding)
         self.state = self._chunked_simple(
             self._vm_settle, self.state, self.topo)
+        self.init_coverage[:] = np.asarray(self._chunked_simple(
+            self._vm_coverage, self.state.positions, self.state.active))
         self._observe()
         for i in range(self.num_envs):
             self.memories[i].add_value(
@@ -305,15 +368,56 @@ class BatchSimEnv:
         return np.concatenate(
             [np.transpose(rgb, (2, 0, 1)), d[None]], axis=0).astype(np.float32)
 
+    def _step_device_chunked(self, vm):
+        """Chunked-execution device step over env_chunk slices: begin ->
+        bounded program chunks until every env is done -> finish.  Output
+        tuple matches the fused _vm_step."""
+        rot = jnp.asarray(self.rotations)
+        C = self.env_chunk
+        B = self.num_envs
+        # conservative bound on chunk iterations (sim steps + jump-only
+        # interpreter iterations)
+        max_iters = (self.prim_cfg.max_program_steps + 400) \
+            // max(1, self.chunk_steps) + 4
+        outs = []
+        for s in range(0, B, C):
+            sl = lambda x: x[s:s + C]
+            state_sl = jax.tree_util.tree_map(sl, self.state)
+            topo_sl = jax.tree_util.tree_map(sl, self.topo)
+            obs_sl = jax.tree_util.tree_map(sl, self.obs)
+            sel, pre_cov, pre_pos, carry, prog = self._vm_begin(
+                state_sl, topo_sl, self.params, vm[s:s + C], obs_sl, rot)
+            for _ in range(max_iters):
+                carry, done = self._vm_chunk(
+                    carry, topo_sl, self.params, prog)
+                if bool(np.all(np.asarray(done))):
+                    break
+            fin = self._vm_finish(carry, pre_pos)
+            if self.record_frames > 0:
+                new_state, post_cov, terminate, frames, n_frames = fin
+                outs.append((new_state, sel, pre_cov, post_cov, terminate,
+                             frames, n_frames))
+            else:
+                new_state, post_cov, terminate = fin
+                outs.append((new_state, sel, pre_cov, post_cov, terminate))
+        if len(outs) == 1:
+            return outs[0]
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+
     def step(self, value_maps):
         """value_maps (B, P, T, D, D) -> next obs stack (B, T, 4, D, D).
 
-        Device: one vmapped step.  Host: replay logging + per-env resets."""
+        Device: one vmapped step (fused) or a begin/chunk*/finish sequence
+        (chunked).  Host: replay logging + per-env resets."""
         vm = jnp.asarray(value_maps)
         prev_obs_stack = np.asarray(self.obs.obs_stack)
-        out = self._chunked(
-            self._vm_step, (self.state, self.topo), vm, self.obs,
-            static=(self.params,), rot=jnp.asarray(self.rotations))
+        if self.exec_mode == "chunked":
+            out = self._step_device_chunked(vm)
+        else:
+            out = self._chunked(
+                self._vm_step, (self.state, self.topo), vm, self.obs,
+                static=(self.params,), rot=jnp.asarray(self.rotations))
         if self.record_frames > 0:
             (new_state, sel, pre_cov, post_cov, terminate, frames,
              n_frames) = out
@@ -376,6 +480,19 @@ class BatchSimEnv:
                         self._fresh_dr_key())
                 self.memories[i] = Memory()
                 self.timesteps[i] = 0
+            # settle reloaded slots exactly like reset() does (set_scene +
+            # settle on every reset, flex_utils.py:320-355,430-441): run the
+            # settle step on the whole batch but keep only reloaded slots
+            settled = self._chunked_simple(
+                self._vm_settle, self.state, self.topo)
+            for i in reload_idx:
+                self.state = _tree_set(
+                    self.state, i,
+                    jax.tree_util.tree_map(lambda x: x[i], settled))
+            cov = np.asarray(self._chunked_simple(
+                self._vm_coverage, self.state.positions, self.state.active))
+            for i in reload_idx:
+                self.init_coverage[i] = float(cov[i])
             self._observe()
             for i in reload_idx:
                 self.memories[i].add_value(

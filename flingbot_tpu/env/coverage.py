@@ -73,11 +73,14 @@ def get_current_covered_area(
     stamped = jnp.sum(grid) * span_x * span_z
 
     # K_SPAN only covers the per-particle stamp while the cloth AABB extent
-    # is >= ~(K_SPAN-2) cells of 2r; below that (a fully bunched-up wad) the
-    # stamp would undercount, but there the footprint IS the radius-padded
-    # AABB — use it directly instead of silently misreporting.
+    # is >= ~(K_SPAN-2) cells of 2r; below that the stamp undercounts.  The
+    # AABB fallback is exact only when BOTH axes are that bunched up (a wad,
+    # whose footprint IS the radius-padded AABB).  A single thin axis (a
+    # folded strip) keeps the stamp: dense particle spacing makes the
+    # truncated stamps overlap, so it undercounts by a few percent at worst,
+    # whereas the AABB would overcount concave strips unboundedly.
     r2 = jnp.float32(2.0 * r)
-    degenerate = (span_x * (K_SPAN - 2) < r2) | (span_z * (K_SPAN - 2) < r2)
+    degenerate = (span_x * (K_SPAN - 2) < r2) & (span_z * (K_SPAN - 2) < r2)
     aabb = (max_x - min_x + r2) * (max_z - min_z + r2)
     return jnp.where(degenerate, aabb, stamped)
 

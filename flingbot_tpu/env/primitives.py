@@ -18,11 +18,25 @@ solver step.  Each instruction is a phase:
   kind 3  CHECKGRASP if cloth not lifted (max y < 0.2) -> terminate + jump
   kind 4  CONDJUMP  jump if a build-time condition holds (e.g. no valid grasp)
   kind 5  DRAGREL   servo to picker_pos + drag_direction (stretchdrag)
+  kind 6  STABILIZE release grasps, park arms, sim until max |v| < tol
+                    (the reference's postaction wait_until_stable,
+                    simEnv.py:469-477 / flex_utils.py:430-441, as the final
+                    phase of the program)
 
 Because instructions are plain arrays, programs built from *traced* action
 parameters (p1, p2, grasp flags) stay inside jit, the interpreter compiles
 once per topology, and the whole thing vmaps over environments — the analog
 of the reference's Ray pool of Python loops, with zero host round-trips.
+
+Two execution modes:
+  * `run_program`: the whole program as ONE `lax.while_loop` (one device
+    call per env step — the round-1/2 fused path).
+  * `program_chunk` + `init_program_carry`: host-driven chunked execution —
+    each device call runs at most `chunk_steps` sim steps and returns the
+    carry + a done flag.  Bounding the per-call duration is what fixes the
+    TPU worker kernel-fault on long-running vmapped programs (round-2 known
+    issue: batch >= 64 crashed the worker; the per-call wall time, not the
+    batch width, is the trigger), and it lets env batches scale to 128-512.
 """
 
 from __future__ import annotations
@@ -33,11 +47,12 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from flingbot_tpu.engine.picker import picker_step
+from flingbot_tpu.engine.picker import picker_step, release_all
 from flingbot_tpu.engine.solver import step as solver_step
 from flingbot_tpu.engine.state import ClothState, SolverParams
 
-MOVE, STRETCH, LIFT, CHECKGRASP, CONDJUMP, DRAGREL = 0, 1, 2, 3, 4, 5
+MOVE, STRETCH, LIFT, CHECKGRASP, CONDJUMP, DRAGREL, STABILIZE = (
+    0, 1, 2, 3, 4, 5, 6)
 
 EPS = 1e-4  # movep convergence (simEnv.py:739)
 DEFAULT_SPEED = 0.1  # movep speed=None fast path (simEnv.py:743-744)
@@ -49,6 +64,8 @@ LIFT_INCREMENT = 0.05  # simEnv.py:189 (lift_cloth increment_step)
 LIFT_MAX_HEIGHT = 0.7
 LIFT_CLEAR = 0.02  # simEnv.py:195 min height to clear ground
 GRASP_CHECK_HEIGHT = 0.2  # is_cloth_grasped (simEnv.py:809-813)
+STABLE_TOL = 1e-2  # wait_until_stable tolerance (flex_utils.py:430)
+STABLE_MAX_STEPS = 300  # wait_until_stable step cap (flex_utils.py:430)
 
 
 class Program(NamedTuple):
@@ -270,6 +287,59 @@ PROGRAM_BUILDERS = {
 }
 
 
+def _append_instr(prog: Program, instr: _Instr) -> Program:
+    return Program(*(
+        jnp.concatenate([a, b[None]]) for a, b in zip(prog, instr)))
+
+
+def append_stabilize(prog: Program) -> Program:
+    """Append a STABILIZE phase at the program end.  Abort jumps in the
+    builders target the old program end, so they land exactly on the
+    stabilize — matching the reference, where postaction stabilization runs
+    whether or not the primitive aborted (simEnv.py:466-477)."""
+    return _append_instr(prog, _mk(STABILIZE, base=_RESET_TARGETS))
+
+
+def pad_program(prog: Program, num_instructions: int) -> Program:
+    """Pad to `num_instructions` with terminators (CONDJUMP past the end)
+    so differently-sized primitive programs stack into one (P, I, ...)
+    array family."""
+    pad_n = num_instructions - prog.num_instructions
+    if pad_n <= 0:
+        return prog
+    term = _mk(CONDJUMP, cond=1.0, jump=num_instructions)
+    for _ in range(pad_n):
+        prog = _append_instr(prog, term)
+    return prog
+
+
+def build_selected_program(
+    primitives, prim_idx, p1, p2, g1, g2, cfg: PrimitiveConfig,
+    stabilize: bool = True,
+):
+    """Build every primitive's program, pad to a common length, and select
+    the one at (traced) `prim_idx`.  Returns (Program, init_fling_height).
+
+    This is the chunked-execution analog of step_core's lax.switch over
+    per-primitive branches: because the chunk function must compile once
+    for ALL primitives, the program itself becomes data."""
+    progs, fhs = [], []
+    for prim in primitives:
+        prog, fh = PROGRAM_BUILDERS[prim](p1, p2, g1, g2, cfg)
+        if stabilize:
+            prog = append_stabilize(prog)
+        progs.append(prog)
+        fhs.append(fh)
+    if len(progs) == 1:
+        return progs[0], fhs[0]
+    num_i = max(p.num_instructions for p in progs)
+    progs = [pad_program(p, num_i) for p in progs]
+    stacked = Program(*(jnp.stack(leaves) for leaves in zip(*progs)))
+    idx = jnp.asarray(prim_idx, jnp.int32)
+    return (Program(*(a[idx] for a in stacked)),
+            jnp.stack(fhs)[idx])
+
+
 class _Carry(NamedTuple):
     state: ClothState
     pc: jnp.ndarray
@@ -287,29 +357,33 @@ class _Carry(NamedTuple):
     frame_idx: jnp.ndarray
 
 
-def run_program(
-    state: ClothState,
+_PARK_POS = jnp.asarray(_RESET_TARGETS, jnp.float32)
+
+
+def _release_and_park(st: ClothState) -> ClothState:
+    """STABILIZE phase entry: the reference's postaction — release every
+    grasp and teleport the arms out of the way (simEnv.py:469-477)."""
+    st = release_all(st)
+    return st.replace(picker_pos=_PARK_POS)
+
+
+def _make_body(
     topo,
     params: SolverParams,
     program: Program,
-    init_grasp_dist,
-    init_fling_height,
     *,
-    max_steps: int = 4000,
-    substeps: int = 4,
-    iterations: int = 30,
-    self_collision: bool = True,
-    spring_mode: str = "gs",
-    contact_mode: str = "block",
-    contact_every: int = 1,
-    backend: str = "xla",
-    record_frames: int = 0,
-    record_every: int = 8,
+    substeps: int,
+    iterations: int,
+    self_collision: bool,
+    spring_mode: str,
+    contact_mode: str,
+    contact_every: int,
+    backend: str,
+    record_frames: int,
+    record_every: int,
 ):
-    """Execute a primitive program; returns (state, terminate_flag) plus,
-    when record_frames > 0, (frames (F, cap, 3), n_frames): particle
-    snapshots every `record_every` sim steps — the episode-video capture
-    the reference does inside movep (simEnv.py:764-768), decimated."""
+    """The program-interpreter loop body (shared by the fused while_loop
+    path and the host-chunked path)."""
     num_instr = program.num_instructions
 
     def active_pos(st):
@@ -319,13 +393,15 @@ def run_program(
         pcc = jnp.clip(pc, 0, num_instr - 1)
         return _Instr(*(jax.tree_util.tree_map(lambda a: a[pcc], program)))
 
-    def cond(c: _Carry):
-        return (c.pc < num_instr) & (c.total_steps < max_steps)
-
     def body(c: _Carry):
         ins = get_instr(c.pc)
         st = c.state
         entry = c.phase_step == 0
+
+        # STABILIZE phase entry: release + park (postaction, simEnv.py:469)
+        is_stab = ins.kind == STABILIZE
+        st = jax.lax.cond(entry & is_stab, _release_and_park,
+                          lambda s: s, st)
 
         # ---- phase-entry target setup -------------------------------------
         static_target = (
@@ -416,12 +492,21 @@ def run_program(
         max_y = jnp.max(jnp.where(act, pos[:, 1], -jnp.inf))
         grasp_failed = max_y < GRASP_CHECK_HEIGHT
 
+        # STABILIZE completion: max |v| < tol or step cap
+        # (wait_until_stable, flex_utils.py:430-441)
+        vmax = jnp.max(jnp.abs(
+            jnp.where(st.active[:, None], st.velocities, 0.0)))
+        stab_done = (vmax < STABLE_TOL) | (
+            c.phase_step >= STABLE_MAX_STEPS)
+
         # dispatch on kind
         kind = ins.kind
         done = jnp.where(
             kind == MOVE, reached,
             jnp.where(kind == STRETCH, stretch_done,
-                      jnp.where(kind == LIFT, lift_done, True)))
+                      jnp.where(kind == LIFT, lift_done,
+                                jnp.where(kind == STABILIZE, stab_done,
+                                          True))))
         done = done | timeout
 
         jumping = ((kind == CHECKGRASP) & grasp_failed) | (
@@ -437,8 +522,11 @@ def run_program(
             targets,
         )
 
-        # ---- servo + simulate one step (unless this was a pure jump) ------
-        is_jump_kind = (kind == CHECKGRASP) | (kind == CONDJUMP)
+        # ---- servo + simulate one step (unless this was a pure jump, or a
+        # STABILIZE that is already done — wait_until_stable checks the
+        # velocity BEFORE stepping, flex_utils.py:434) ----------------------
+        is_jump_kind = ((kind == CHECKGRASP) | (kind == CONDJUMP)
+                        | (is_stab & done))
         delta_t = targets - st.picker_pos
         dd = jnp.linalg.norm(delta_t, axis=1, keepdims=True)
         move = jnp.where(dd < ins.speed, delta_t,
@@ -482,7 +570,17 @@ def run_program(
             frame_idx=frame_idx,
         )
 
-    init = _Carry(
+    return body
+
+
+def init_program_carry(
+    state: ClothState,
+    init_grasp_dist,
+    init_fling_height,
+    record_frames: int = 0,
+) -> _Carry:
+    """Fresh interpreter carry for a program about to run."""
+    return _Carry(
         state=state,
         pc=jnp.int32(0),
         phase_step=jnp.int32(0),
@@ -499,10 +597,97 @@ def run_program(
             (record_frames, state.num_particles, 3), jnp.float32),
         frame_idx=jnp.int32(0),
     )
+
+
+def run_program(
+    state: ClothState,
+    topo,
+    params: SolverParams,
+    program: Program,
+    init_grasp_dist,
+    init_fling_height,
+    *,
+    max_steps: int = 4000,
+    substeps: int = 4,
+    iterations: int = 30,
+    self_collision: bool = True,
+    spring_mode: str = "gs",
+    contact_mode: str = "block",
+    contact_every: int = 1,
+    backend: str = "xla",
+    record_frames: int = 0,
+    record_every: int = 8,
+):
+    """Execute a primitive program as ONE while_loop; returns
+    (state, terminate_flag) plus, when record_frames > 0, (frames
+    (F, cap, 3), n_frames): particle snapshots every `record_every` sim
+    steps — the episode-video capture the reference does inside movep
+    (simEnv.py:764-768), decimated."""
+    num_instr = program.num_instructions
+    body = _make_body(
+        topo, params, program, substeps=substeps, iterations=iterations,
+        self_collision=self_collision, spring_mode=spring_mode,
+        contact_mode=contact_mode, contact_every=contact_every,
+        backend=backend, record_frames=record_frames,
+        record_every=record_every)
+
+    def cond(c: _Carry):
+        return (c.pc < num_instr) & (c.total_steps < max_steps)
+
+    init = init_program_carry(state, init_grasp_dist, init_fling_height,
+                              record_frames)
     out = jax.lax.while_loop(cond, body, init)
     if record_frames > 0:
         return out.state, out.terminate, out.frames, out.frame_idx
     return out.state, out.terminate
+
+
+def program_chunk(
+    carry: _Carry,
+    topo,
+    params: SolverParams,
+    program: Program,
+    *,
+    chunk_steps: int = 256,
+    max_steps: int = 4000,
+    substeps: int = 4,
+    iterations: int = 30,
+    self_collision: bool = True,
+    spring_mode: str = "gs",
+    contact_mode: str = "block",
+    contact_every: int = 1,
+    backend: str = "xla",
+    record_frames: int = 0,
+    record_every: int = 8,
+):
+    """Run at most `chunk_steps` interpreter iterations of `program`.
+
+    Returns (carry', done): the host loops `carry, done = chunk(carry)`
+    until done.  Bounding the work per device call keeps each launch well
+    under the TPU runtime's per-call limits (the round-2 worker kernel
+    fault on long vmapped programs), at the cost of one scalar readback
+    per chunk."""
+    num_instr = program.num_instructions
+    body = _make_body(
+        topo, params, program, substeps=substeps, iterations=iterations,
+        self_collision=self_collision, spring_mode=spring_mode,
+        contact_mode=contact_mode, contact_every=contact_every,
+        backend=backend, record_frames=record_frames,
+        record_every=record_every)
+
+    def base_cond(c: _Carry):
+        return (c.pc < num_instr) & (c.total_steps < max_steps)
+
+    def cond2(t):
+        c, local = t
+        return base_cond(c) & (local < chunk_steps)
+
+    def body2(t):
+        c, local = t
+        return body(c), local + 1
+
+    out, _ = jax.lax.while_loop(cond2, body2, (carry, jnp.int32(0)))
+    return out, ~base_cond(out)
 
 
 @functools.partial(

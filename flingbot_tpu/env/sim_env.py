@@ -31,6 +31,9 @@ from flingbot_tpu.env.observation import Observation, compute_observation
 from flingbot_tpu.env.primitives import (
     PROGRAM_BUILDERS,
     PrimitiveConfig,
+    build_selected_program,
+    init_program_carry,
+    program_chunk,
     run_program,
 )
 from flingbot_tpu.env.scene import set_scene
@@ -156,6 +159,57 @@ def step_core(
     if record_frames > 0:
         return state, sel, pre_cov, post_cov, terminate, frames, n_frames
     return state, sel, pre_cov, post_cov, terminate
+
+
+def step_begin(
+    state,
+    topo,
+    params: SolverParams,
+    value_maps: jnp.ndarray,  # (P, T, D, D)
+    obs: Observation,
+    rotations: jnp.ndarray,
+    primitives: Sequence[str],
+    prim_cfg: PrimitiveConfig,
+    pix_grasp_dist: int = 8,
+    pix_drag_dist: int = 10,
+    pix_place_dist: int = 10,
+    record_frames: int = 0,
+):
+    """Chunked-execution step, part 1: action selection + program build.
+
+    Returns (sel, pre_cov, pre_pos, carry, program).  The host then loops
+    `carry, done = program_chunk(carry, ...)` (primitives.py) until done —
+    the program already ends in a STABILIZE phase, so no separate
+    postaction call is needed — and finally calls step_finish."""
+    sel = select_action(
+        value_maps, obs, rotations, primitives=primitives,
+        pix_grasp_dist=pix_grasp_dist, pix_drag_dist=pix_drag_dist,
+        pix_place_dist=pix_place_dist,
+    )
+    pre_cov = get_current_covered_area(state.positions, state.active)
+    prog, init_fh = build_selected_program(
+        primitives, sel.prim_idx, sel.p1_world, sel.p2_world,
+        sel.p1_grasp, sel.p2_grasp, prim_cfg, stabilize=True)
+    dist = jnp.linalg.norm(sel.p1_world - sel.p2_world)
+    carry = init_program_carry(state, dist, init_fh, record_frames)
+    return sel, pre_cov, state.positions, carry, prog
+
+
+def step_finish(carry, pre_pos, record_frames: int = 0):
+    """Chunked-execution step, part 3: no-move early-exit + reward inputs
+    (postaction, simEnv.py:469-502)."""
+    state = carry.state
+    disp = jnp.max(jnp.where(
+        state.active,
+        jnp.linalg.norm(state.positions - pre_pos, axis=1),
+        0.0,
+    ))
+    no_move = disp < NO_MOVE_EPS
+    post_cov = get_current_covered_area(state.positions, state.active)
+    terminate = carry.terminate | no_move
+    if record_frames > 0:
+        return state, post_cov, terminate, carry.frames, carry.frame_idx
+    return state, post_cov, terminate
 
 
 class SimEnv:

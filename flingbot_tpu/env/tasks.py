@@ -186,6 +186,23 @@ class TaskLoader:
             return Task(name=key, **kwargs)
 
 
+def detect_mesh_caps(hdf5_path: str):
+    """None for grid task files; the static (verts, edges, tris) padding
+    bucket for mesh (shirt) files — so BatchSimEnv callers can stay
+    agnostic of the set's cloth type (reference keeps rect and shirt sets
+    in separate files, README.md:136-141)."""
+    from flingbot_tpu.env import scene as _scene
+
+    with h5py.File(hdf5_path, "r") as f:
+        for k in f:
+            g = f[k]
+            if "mesh_verts" in g and np.asarray(g["mesh_verts"]).size > 0:
+                return (_scene.MESH_VERT_CAPACITY, _scene.MESH_EDGE_CAPACITY,
+                        _scene.MESH_TRI_CAPACITY)
+            return None
+    return None
+
+
 def write_task(path: str, task_dict: Dict) -> str:
     """Append one task to an HDF5 file under a sha1 key — the exact schema
     of the reference's generator (tasks.py:305-320)."""
@@ -405,6 +422,12 @@ def generate_randomization(
         return None  # probably an error (tasks.py:262-265)
     state = _center(state)
 
+    # shirts (mesh cloths) get their own difficulty tag so stats keep them
+    # out of the rect "hard" family (the reference keeps the sets in
+    # separate files; README.md:136-141)
+    recorded_difficulty = ("shirt" if cloth_type == "mesh"
+                           else task_difficulty)
+
     n = num_particles
     pos4 = np.concatenate(
         [np.asarray(state.positions[:n]),
@@ -422,7 +445,7 @@ def generate_randomization(
         "cloth_size": np.array([dimx, dimy]),
         "cloth_stiff": stiffness,
         "cloth_mass": cloth_mass,
-        "task_difficulty": task_difficulty,
+        "task_difficulty": recorded_difficulty,
         **mesh_arrays,
     }
 
@@ -530,6 +553,82 @@ def _crumple_easy_batch(state, topo, params, pick_idx, disps,
     return jax.vmap(one_env)(state, topo, pick_idx, disps)
 
 
+def _anchored_chunk(state, topo, idx, p0, p1, s0, *, n_steps, sweep_steps,
+                    params, sim_kw):
+    """K steps of the anchored sweep/hold schedule for one env: the anchor
+    particle tracks p0 -> p1 over sweep_steps, then holds at p1.  The
+    anchor's inv_mass is pinned to 0 by the caller."""
+
+    def body(i, st):
+        s = (s0 + i).astype(jnp.float32)
+        frac = jnp.minimum(s, sweep_steps) / sweep_steps
+        p = p0 + (p1 - p0) * frac
+        st = st.replace(
+            positions=st.positions.at[idx].set(p),
+            velocities=st.velocities.at[idx].set(jnp.zeros(3)),
+        )
+        return solver_step(st, topo, params, **sim_kw)
+
+    return jax.lax.fori_loop(0, n_steps, body, state)
+
+
+def _toss_chunk(state, topo, idxs, disps, p0, p1, saved_w, s0, *, n_steps,
+                sweep_steps, params, sim_kw):
+    """K steps of the 'easy' 10-toss schedule for one env (reference
+    tasks.py:225-258): toss t = s // sweep_steps, within-toss j = s %
+    sweep_steps.  Pin/record at j==0, restore inv_mass at j==sweep-1.
+    p1 = p0 + d is computed once at toss entry and interpolated as
+    p0 + (p1 - p0) * frac — bit-identical to the single-program path."""
+    cap = state.num_particles
+
+    def body(i, carry):
+        st, p0, p1, saved_w = carry
+        s = s0 + i
+        t = s // sweep_steps
+        j = s % sweep_steps
+        idx = idxs[jnp.clip(t, 0, idxs.shape[0] - 1)]
+        entry = j == 0
+        saved_w = jnp.where(entry, st.inv_mass[idx], saved_w)
+        d = disps[jnp.clip(t, 0, disps.shape[0] - 1)]
+        p0 = jnp.where(entry, st.positions[idx], p0)
+        p1 = jnp.where(entry, p0 + d, p1)
+        st = st.replace(inv_mass=st.inv_mass.at[idx].set(0.0))
+        p = p0 + (p1 - p0) * (j.astype(jnp.float32) / sweep_steps)
+        st = st.replace(
+            positions=st.positions.at[idx].set(p),
+            velocities=st.velocities.at[idx].set(jnp.zeros(3)),
+        )
+        st = solver_step(st, topo, params, **sim_kw)
+        exit_ = j == sweep_steps - 1
+        restore_slot = jnp.where(exit_, idx, cap)
+        st = st.replace(inv_mass=st.inv_mass.at[restore_slot].set(
+            saved_w, mode="drop"))
+        return (st, p0, p1, saved_w)
+
+    return jax.lax.fori_loop(0, n_steps, body, (state, p0, p1, saved_w))
+
+
+def _settle_chunk(state, topo, k0, *, n_steps, max_settle, tol, params,
+                  sim_kw):
+    """Up to K settle steps with the per-env vmax early exit.  Returns
+    (state, k, vmax) so the host can decide doneness."""
+
+    def vmax_of(st):
+        return jnp.max(jnp.abs(
+            jnp.where(st.active[:, None], st.velocities, 0.0)))
+
+    def cond(c):
+        st, k = c
+        return (k < k0 + n_steps) & (k < max_settle) & (vmax_of(st) >= tol)
+
+    def body(c):
+        st, k = c
+        return solver_step(st, topo, params, **sim_kw), k + 1
+
+    st, k = jax.lax.while_loop(cond, body, (state, k0))
+    return st, k, vmax_of(st)
+
+
 def generate_tasks_batch(
     path: str,
     num_tasks: int,
@@ -545,11 +644,19 @@ def generate_tasks_batch(
     contact_mode: str = "block",
     contact_every: int = 2,
     log: bool = True,
+    chunk_steps: int = 64,
+    schedule=None,
 ) -> int:
-    """Batched task generation: `batch` crumpling rollouts run as ONE
+    """Batched task generation: `batch` crumpling rollouts run as one
     vmapped device program — the TPU replacement for the reference's N Ray
     workers (tasks.py:466-501).  'hard' (lift-and-drop) and 'easy' (10
-    random tosses) square cloths; fall back to generate_tasks for mesh."""
+    random tosses) square cloths; fall back to generate_tasks for mesh.
+
+    With chunk_steps > 0 (default) each device call runs at most that many
+    sim steps (host-driven chunking, same rationale as
+    primitives.program_chunk: bounded per-call wall time is what keeps the
+    TPU worker alive at batch >= 64); chunk_steps=0 restores the round-2
+    single-program path."""
     assert task_difficulty in ("hard", "easy")
     rng = np.random.default_rng(seed)
     params = SolverParams()
@@ -568,14 +675,100 @@ def generate_tasks_batch(
     sim_kw = dict(substeps=4, iterations=30, self_collision=True,
                   backend=backend, spring_mode=spring_mode,
                   contact_mode=contact_mode, contact_every=contact_every)
-    if task_difficulty == "hard":
+    # (sweep, hold, settle[, tosses]) — overridable for fast tests
+    if schedule is not None:
+        SWEEP, HOLD, SETTLE = schedule[:3]
+        TOSSES = schedule[3] if len(schedule) > 3 else 10
+    else:
+        SWEEP, HOLD, SETTLE = (200, 120, 300) if task_difficulty == "hard" \
+            else (100, 0, 300)
+        TOSSES = 10
+    if chunk_steps:
+        K = int(chunk_steps)
+        if task_difficulty == "hard":
+            anchored = jax.jit(jax.vmap(
+                functools.partial(
+                    _anchored_chunk, n_steps=K, sweep_steps=SWEEP,
+                    params=params, sim_kw=sim_kw),
+                in_axes=(0, 0, 0, 0, 0, None)))
+        else:
+            tosser = jax.jit(jax.vmap(
+                functools.partial(
+                    _toss_chunk, n_steps=K, sweep_steps=SWEEP,
+                    params=params, sim_kw=sim_kw),
+                in_axes=(0, 0, 0, 0, 0, 0, 0, None)))
+        settler = jax.jit(jax.vmap(
+            functools.partial(
+                _settle_chunk, n_steps=K, max_settle=SETTLE, tol=1e-2,
+                params=params, sim_kw=sim_kw),
+            in_axes=(0, 0, 0)))
+
+        def crumple_chunked(batch_state, batch_topo, pick_idx,
+                            start=None, target=None, disps=None):
+            B = pick_idx.shape[0]
+            if task_difficulty == "hard":
+                # pin anchors, run sweep+hold in K-step chunks, unpin
+                saved_w = jax.vmap(lambda st, i: st.inv_mass[i])(
+                    batch_state, pick_idx)
+                batch_state = jax.vmap(
+                    lambda st, i: st.replace(
+                        inv_mass=st.inv_mass.at[i].set(0.0)))(
+                    batch_state, pick_idx)
+                total = SWEEP + HOLD
+                for s0 in range(0, total, K):
+                    n = min(K, total - s0)
+                    if n < K:
+                        part = jax.jit(jax.vmap(
+                            functools.partial(
+                                _anchored_chunk, n_steps=n,
+                                sweep_steps=SWEEP, params=params,
+                                sim_kw=sim_kw),
+                            in_axes=(0, 0, 0, 0, 0, None)))
+                        batch_state = part(batch_state, batch_topo,
+                                           pick_idx, start, target,
+                                           jnp.int32(s0))
+                    else:
+                        batch_state = anchored(batch_state, batch_topo,
+                                               pick_idx, start, target,
+                                               jnp.int32(s0))
+                batch_state = jax.vmap(
+                    lambda st, i, w: st.replace(
+                        inv_mass=st.inv_mass.at[i].set(w)))(
+                    batch_state, pick_idx, saved_w)
+            else:
+                total = TOSSES * SWEEP
+                p0 = jnp.zeros((B, 3), jnp.float32)
+                p1 = jnp.zeros((B, 3), jnp.float32)
+                sw = jnp.zeros((B,), jnp.float32)
+                carry = (batch_state, p0, p1, sw)
+                for s0 in range(0, total, K):
+                    n = min(K, total - s0)
+                    fn = tosser if n == K else jax.jit(jax.vmap(
+                        functools.partial(
+                            _toss_chunk, n_steps=n, sweep_steps=SWEEP,
+                            params=params, sim_kw=sim_kw),
+                        in_axes=(0, 0, 0, 0, 0, 0, 0, None)))
+                    carry = fn(carry[0], batch_topo, pick_idx, disps,
+                               carry[1], carry[2], carry[3], jnp.int32(s0))
+                batch_state = carry[0]
+            # settle with per-env early exit, host-checked per chunk
+            k = jnp.zeros((B,), jnp.int32)
+            while True:
+                batch_state, k, vmax = settler(batch_state, batch_topo, k)
+                done = (np.asarray(vmax) < 1e-2) | (np.asarray(k) >= SETTLE)
+                if done.all():
+                    break
+            return batch_state
+
+        crumple = crumple_chunked
+    elif task_difficulty == "hard":
         crumple = jax.jit(functools.partial(
-            _crumple_hard_batch, params=params, sweep_steps=200,
-            hold_steps=120, settle_steps=300, sim_kw=sim_kw))
+            _crumple_hard_batch, params=params, sweep_steps=SWEEP,
+            hold_steps=HOLD, settle_steps=SETTLE, sim_kw=sim_kw))
     else:
         crumple = jax.jit(functools.partial(
-            _crumple_easy_batch, params=params, sweep_steps=100,
-            settle_steps=300, sim_kw=sim_kw))
+            _crumple_easy_batch, params=params, sweep_steps=SWEEP,
+            settle_steps=SETTLE, sim_kw=sim_kw))
 
     count = count0
     while count < num_tasks:
@@ -612,8 +805,8 @@ def generate_tasks_batch(
                 starts.append(p0)
                 targets.append(p1)
             else:
-                picks.append(rng.integers(0, n, 10).astype(np.int32))
-                d = rng.uniform(-0.2, 0.2, (10, 3)).astype(np.float32)
+                picks.append(rng.integers(0, n, TOSSES).astype(np.int32))
+                d = rng.uniform(-0.2, 0.2, (TOSSES, 3)).astype(np.float32)
                 d[:, 1] = 0.2
                 targets.append(d)
             topos.append(topo)
@@ -680,9 +873,19 @@ def generate_tasks(
     log: bool = True,
     **kwargs,
 ) -> int:
-    """Generate tasks into an HDF5 file (CLI parity: tasks.py:466-501)."""
-    rng = np.random.default_rng(seed)
+    """Generate tasks into an HDF5 file (CLI parity: tasks.py:466-501).
+    num_tasks is the TOTAL target: existing tasks count toward it, so an
+    interrupted run resumes instead of overshooting."""
+    import os as _os
+
     count = 0
+    if _os.path.exists(path):
+        with h5py.File(path, "r") as f:
+            count = len(f.keys())
+        if count:
+            print(f"[generate_tasks] resuming: {count} tasks exist",
+                  flush=True)
+    rng = np.random.default_rng(seed + count)
     while count < num_tasks:
         task = generate_randomization(rng, **kwargs)
         if task is None:

@@ -88,9 +88,16 @@ def config_parser(parser: ArgumentParser = None) -> ArgumentParser:
     parser.add_argument("--no_self_collision", action="store_true",
                         default=False)
     parser.add_argument("--max_grid_dim", type=int, default=104)
-    parser.add_argument("--env_chunk", type=int, default=16,
-                        help="envs per device program call (the TPU runtime "
-                             "faults on large vmapped while_loop programs)")
+    parser.add_argument("--env_chunk", type=int, default=None,
+                        help="envs per device program call (default: all "
+                             "envs when exec_mode=chunked, 32 when fused)")
+    parser.add_argument("--exec_mode", choices=["chunked", "fused"],
+                        default="chunked",
+                        help="chunked: host-driven bounded device calls "
+                             "(safe at any batch size); fused: one "
+                             "while_loop program per env step")
+    parser.add_argument("--chunk_steps", type=int, default=64,
+                        help="max sim steps per device call in chunked mode")
     parser.add_argument("--dp_devices", type=int, default=None,
                         help="devices on the dp mesh axis (default: all)")
     return parser

@@ -53,16 +53,18 @@ def collect_stats(
                 keys = keys[-num_points:]
             num_points = max(len(keys), 1)
 
-            per_level = lambda: {"easy": [], "hard": []}
-            delta_cov = per_level()
-            final_cov = per_level()
-            init_cov = per_level()
-            best_cov = {"easy": defaultdict(float), "hard": defaultdict(float)}
-            ep_delta = per_level()
-            ep_len = per_level()
-            step_delta = {"easy": defaultdict(list), "hard": defaultdict(list)}
-            step_post = {"easy": defaultdict(list), "hard": defaultdict(list)}
-            step_pre = {"easy": defaultdict(list), "hard": defaultdict(list)}
+            # keyed by whatever task_difficulty values appear (easy / hard /
+            # shirt / ...) so e.g. shirt episodes get their own stat family
+            # instead of being silently mixed into "hard"
+            delta_cov = defaultdict(list)
+            final_cov = defaultdict(list)
+            init_cov = defaultdict(list)
+            best_cov = defaultdict(lambda: defaultdict(float))
+            ep_delta = defaultdict(list)
+            ep_len = defaultdict(list)
+            step_delta = defaultdict(lambda: defaultdict(list))
+            step_post = defaultdict(lambda: defaultdict(list))
+            step_pre = defaultdict(lambda: defaultdict(list))
             prim_counts = {ap: 0 for ap in action_primitives}
 
             for k in keys:
@@ -78,8 +80,6 @@ def collect_stats(
                 if post < 0.05:
                     continue
                 level = str(attrs.get("task_difficulty", "hard"))
-                if level not in delta_cov:
-                    continue
                 episode = k.split("_step")[0]
                 step = k.split("step")[1].split("_")[0]
                 delta_cov[level].append(post - pre)

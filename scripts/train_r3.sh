@@ -1,0 +1,29 @@
+#!/bin/bash
+# Round-3 training run: chunked execution at large env batch on the
+# regenerated train set.  Resumable (auto-resume from latest_ckpt.pth +
+# append-only replay buffer), so retry.sh just re-launches after a TPU
+# worker fault.
+#
+# Usage: scripts/train_r3.sh [log_dir] [num_envs] [chunk_steps]
+set -u
+LOG=${1:-runs/round3}
+ENVS=${2:-128}
+CHUNK=${3:-48}
+cd /root/repo
+export PYTHONPATH=/root/repo:/root/.axon_site
+export JAX_COMPILATION_CACHE_DIR=/root/jaxcache
+exec bash scripts/retry.sh 100 150 \
+  python run_sim.py \
+    --tasks data_r3/rect_train_2048.hdf5 \
+    --log "$LOG" \
+    --num_envs "$ENVS" \
+    --exec_mode chunked \
+    --chunk_steps "$CHUNK" \
+    --backend pallas \
+    --spring_mode chebyshev \
+    --contact_every 2 \
+    --render_dim 256 \
+    --batch_size 64 \
+    --batches_per_update 4 \
+    --warmup 96 \
+    --seed 42

@@ -1,0 +1,87 @@
+"""Chunked (host-driven, bounded device calls) vs fused (one while_loop)
+execution parity.
+
+The chunked path exists to bound per-device-call wall time (the round-2 TPU
+worker kernel fault on long-running vmapped programs); it must be
+numerically identical to the fused step_core path: the STABILIZE program
+phase replays exactly the fused postaction (release + park + settle,
+reference simEnv.py:466-477)."""
+
+import numpy as np
+import pytest
+
+from flingbot_tpu.env.batch_env import BatchSimEnv
+from flingbot_tpu.env.tasks import TaskLoader
+from tests.test_sim_env import MAX_DIM, task_file  # fixture reuse  # noqa
+
+
+def _mk_env(task_file, tmp_path, name, **kw):
+    loader = TaskLoader(task_file)
+    kw.setdefault("episode_length", 2)
+    return BatchSimEnv(
+        get_task_fn=loader.get_next_task,
+        num_envs=2,
+        replay_buffer_path=str(tmp_path / f"{name}.hdf5"),
+        obs_dim=64,
+        num_rotations=2,
+        scale_factors=[1.0, 1.5],
+        render_dim=128,
+        max_grid_dim=MAX_DIM,
+        self_collision=False,
+        seed=7,
+        **kw,
+    )
+
+
+class TestChunkedExecution:
+    def test_chunked_matches_fused(self, task_file, tmp_path):
+        env_f = _mk_env(task_file, tmp_path, "fused", exec_mode="fused")
+        env_c = _mk_env(task_file, tmp_path, "chunked", exec_mode="chunked",
+                        chunk_steps=23)  # odd, small -> many chunk calls
+        obs_f = np.asarray(env_f.reset())
+        obs_c = np.asarray(env_c.reset())
+        np.testing.assert_allclose(obs_f, obs_c, atol=1e-6)
+
+        rng = np.random.default_rng(3)
+        vm = rng.uniform(size=(2, 1, obs_f.shape[1], 64, 64)).astype(
+            np.float32)
+        env_f.step(vm)
+        env_c.step(vm)
+        np.testing.assert_allclose(
+            np.asarray(env_f.state.positions),
+            np.asarray(env_c.state.positions), atol=1e-4)
+        for i in range(2):
+            pre_f = env_f.memories[i] if env_f.timesteps[i] else None
+            pre_c = env_c.memories[i] if env_c.timesteps[i] else None
+            assert (pre_f is None) == (pre_c is None)
+        assert env_f.episodes_done == env_c.episodes_done
+
+    def test_chunked_multi_primitive(self, task_file, tmp_path):
+        """Padded+stacked program selection (fling/place differ in length)
+        must run and terminate under chunked execution."""
+        env = _mk_env(task_file, tmp_path, "multi", exec_mode="chunked",
+                      chunk_steps=50,
+                      action_primitives=["fling", "place"])
+        obs = env.reset()
+        rng = np.random.default_rng(0)
+        vm = rng.uniform(
+            size=(2, 2, np.asarray(obs).shape[1], 64, 64)).astype(np.float32)
+        obs2 = env.step(vm)
+        assert np.asarray(obs2).shape == np.asarray(obs).shape
+        assert (env.timesteps <= 1).all()
+
+    def test_reload_settles_and_records_init_coverage(
+            self, task_file, tmp_path):
+        """Episode N>0 first state gets the same settle as reset() and
+        init_coverage is recorded per episode (VERDICT weak #4)."""
+        env = _mk_env(task_file, tmp_path, "reload", exec_mode="chunked",
+                      episode_length=1)
+        env.reset()
+        cov0 = env.init_coverage.copy()
+        assert (cov0 > 0).all()
+        rng = np.random.default_rng(1)
+        vm = rng.uniform(size=(2, 1, env.obs.obs_stack.shape[1], 64, 64)
+                         ).astype(np.float32)
+        env.step(vm)  # episode_length=1 -> both slots reload
+        assert env.episodes_done == 2
+        assert (env.init_coverage > 0).all()

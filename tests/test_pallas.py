@@ -232,6 +232,43 @@ class TestFullStepBackendParity:
         np.testing.assert_allclose(
             np.asarray(sx.positions), np.asarray(sp.positions), atol=1e-5)
 
+    def test_full_step_parity_with_active_picker(self):
+        """Backend velocity semantics must agree with a GRASPING picker in
+        the scene (round-2 advisor finding: the pallas path used to clamp
+        before contacts and fold picker pushes into V).  Exact ordering now:
+        springs -> contacts -> plane -> clamped finalize -> picker
+        position-only, on both backends — positions AND velocities match."""
+        topo, params, _, _, _ = setup()
+        pos = grid_positions(DIM, DIM, lower=(0.0, 0.1, 0.0))
+        rng = np.random.default_rng(5)
+        pos[:, 1] += rng.random(DIM * DIM).astype(np.float32) * 0.004
+        state = ClothState.create(
+            pos, np.full(DIM * DIM, DIM * DIM / 0.5, np.float32))
+        # picker 0 grasps particle 0 (inv mass pinned) and sits just above
+        # the cloth so its sphere actively pushes neighbors
+        grab = pos[0] + np.array([0.0, 0.02, 0.0], np.float32)
+        state = state.replace(
+            picker_pos=jnp.asarray([grab, [-10.0, -10.0, -10.0]]),
+            picked_idx=jnp.asarray([0, -1], jnp.int32),
+            inv_mass=state.inv_mass.at[0].set(0.0),
+        )
+        kw = dict(substeps=4, iterations=10, self_collision=True,
+                  contact_iterations=4, contact_every=2, contact_window=8)
+        f_x = jax.jit(lambda s: solver.step(
+            s, topo, params, spring_mode="chebyshev", contact_mode="sort",
+            **kw))
+        f_p = jax.jit(lambda s: solver.step(
+            s, topo, params, spring_mode="chebyshev", backend="pallas",
+            pallas_interpret=True, **kw))
+        sx, sp = state, state
+        for _ in range(2):
+            sx = f_x(sx)
+            sp = f_p(sp)
+        np.testing.assert_allclose(
+            np.asarray(sx.positions), np.asarray(sp.positions), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(sx.velocities), np.asarray(sp.velocities), atol=1e-3)
+
     def test_vmap_over_pallas_step(self):
         """Primitives vmap the per-env step — the pallas path must batch."""
         topo, params, _, _, _ = setup()
