@@ -208,17 +208,20 @@ def _substeps_kernel(param_ref, P_ref, V_ref, w_ref,
         return P, V, prev
 
     def clamp_finalize(P, V, prev):
-        """Velocity finalize with the acceleration clamp
-        (NvFlexParams.maxAcceleration, main.cpp:786; plane-contacted
-        particles are not clamped, and the clamp covers the SPRING phase
-        only — see the deviation note in solver._substep)."""
+        """Velocity finalize with the speed-up-only acceleration clamp
+        (NvFlexParams.maxAcceleration, main.cpp:786): solver-injected
+        energy (Chebyshev overshoot) is capped; decelerations (floor/pile
+        impacts) pass through — see the deviation note in
+        solver._substep."""
         V_new = (P - prev) / dt
         dv0 = V_new[0] - V[0]
         dv1 = V_new[1] - V[1]
         dv2 = V_new[2] - V[2]
         r = jax.lax.rsqrt(dv0 * dv0 + dv1 * dv1 + dv2 * dv2 + _EPS)
-        sc = jnp.minimum(1.0, a_max * dt * r)
-        sc = jnp.where(P[1] < coldist * 2.0, 1.0, sc)
+        speeding = (V_new[0] * V_new[0] + V_new[1] * V_new[1]
+                    + V_new[2] * V_new[2]
+                    > V[0] * V[0] + V[1] * V[1] + V[2] * V[2])
+        sc = jnp.where(speeding, jnp.minimum(1.0, a_max * dt * r), 1.0)
         return jnp.where(mm, jnp.stack(
             [V[0] + dv0 * sc, V[1] + dv1 * sc, V[2] + dv2 * sc]), V)
 

@@ -332,32 +332,46 @@ def _substep(P, V, w, moving_mask, params, dt, iterations, solve_fn,
     # acceleration clamp (NvFlexParams.maxAcceleration, main.cpp:786):
     # caps the velocity change the SPRING solve can inject in one substep —
     # the stabilizer against Chebyshev overshoot (without it fling-speed
-    # drags scramble the cloth).  Deliberate deviations from FleX's blanket
-    # end-of-step clamp, both measured (round 2/3):
-    #   * plane-contacted particles are exempt — clamping floor-impact
-    #     deceleration makes dropped cloth slide outward instead of
-    #     crumpling (eval sets degenerate to ~0.6 init coverage);
-    #   * the clamp runs BEFORE the self-collision projection and the
-    #     contact delta is added unclamped — pile-impact deceleration is
-    #     equally real physics, and clamping it softens crumpling (hard-set
-    #     init/flatten 0.48 clamped vs reference-grade ~0.32) and loses
-    #     fling quality (QA 0.545 vs 0.570).
+    # drags scramble the cloth; round-2 eval coverage 0.07 vs 0.54).
+    # Deliberate deviation from FleX's blanket end-of-step clamp, derived
+    # from the round-3 crumple A/B (STATUS.md): only SPEED-INCREASING
+    # changes are clamped.  Decelerations are real physics — floor and pile
+    # impacts must stop the cloth dead or dropped cloth spreads flat
+    # instead of crumpling (blanket clamp: init/flatten 0.605; decel-exempt
+    # variants: 0.48-0.60; reference grade is ~0.33) — while solver energy
+    # injection (Chebyshev overshoot, deep-penetration ejection) always
+    # shows up as a speed-up.  The self-collision delta below is clamped by
+    # the same criterion.
     V_new = (P - prev) / dt
     dv = V_new - V
     dv_norm = jnp.sqrt(dv[0] ** 2 + dv[1] ** 2 + dv[2] ** 2 + _EPS)
     dv_max = params.max_acceleration * dt
-    scale = jnp.minimum(1.0, dv_max / dv_norm)
-    in_contact = P[1] < params.collision_distance * 2.0
-    scale = jnp.where(in_contact, 1.0, scale)
+    speeding = (V_new[0] ** 2 + V_new[1] ** 2 + V_new[2] ** 2
+                > V[0] ** 2 + V[1] ** 2 + V[2] ** 2)
+    scale = jnp.where(speeding, jnp.minimum(1.0, dv_max / dv_norm), 1.0)
     V = jnp.where(mm, V + dv * scale[None], V)
     # self-collision once per substep from the per-step neighbor structure;
-    # its velocity contribution is NOT clamped (see above)
+    # its velocity contribution gets the same speed-up-only clamp (catches
+    # deep-penetration ejection pops without damping pile impacts)
     if contact_fn is not None:
         P2 = contact_fn(P, prev)
         P2 = solve_plane(P2, prev, params, moving_mask)
-        V = jnp.where(mm, V + (P2 - P) / dt, V)
-        P = P2
+        P, V = _add_delta_clamped(P, P2, V, dt, dv_max, mm)
     return P, V
+
+
+def _add_delta_clamped(P, P2, V, dt, dv_max, mm):
+    """Apply a position projection P->P2 with its velocity contribution
+    clamped by the speed-up-only maxAcceleration criterion (see the clamp
+    note in _substep)."""
+    dv = (P2 - P) / dt
+    V_new = V + dv
+    dv_norm = jnp.sqrt(dv[0] ** 2 + dv[1] ** 2 + dv[2] ** 2 + _EPS)
+    speeding = (V_new[0] ** 2 + V_new[1] ** 2 + V_new[2] ** 2
+                > V[0] ** 2 + V[1] ** 2 + V[2] ** 2)
+    scale = jnp.where(speeding, jnp.minimum(1.0, dv_max / dv_norm), 1.0)
+    V = jnp.where(mm, V + dv * scale[None], V)
+    return P2, V
 
 
 def _run_substeps(P, V, w, moving_mask, params, substeps, iterations,
@@ -489,9 +503,9 @@ def _step_grid_pallas(Pl, Vl, wl, valid, moving, state, topo, params,
             picker_last=not self_collision, interpret=interpret)
         Pl, Vl, prevL = Pn[0], Vn[0], prevL[0]
         if self_collision:
-            # contacts -> plane -> unclamped velocity add -> picker (same
-            # as _substep + _run_substeps; the kernel already applied the
-            # spring-phase clamp)
+            # contacts -> plane -> speed-clamped velocity add -> picker
+            # (same as _substep + _run_substeps; the kernel already applied
+            # the spring-phase clamp)
             P2 = collisions.contact_group(
                 Pl.reshape(3, -1), prevL.reshape(3, -1), wl.reshape(-1),
                 flat_valid, params, rest_dist=params.radius, lattice_w=W,
@@ -499,7 +513,8 @@ def _step_grid_pallas(Pl, Vl, wl, valid, moving, state, topo, params,
                 backend="pallas", interpret=interpret,
             ).reshape(3, H, W)
             P2 = solve_plane(P2, prevL, params, moving)
-            Vl = jnp.where(mm, Vl + (P2 - Pl) / dt_sub, Vl)
+            P2, Vl = _add_delta_clamped(
+                Pl, P2, Vl, dt_sub, params.max_acceleration * dt_sub, mm)
             Pl = solve_picker_spheres(P2, state.picker_pos, picker_radius,
                                       params, moving)
     return Pl, Vl
