@@ -355,16 +355,20 @@ class BatchSimEnv:
             args = (self.state.positions, self.state.active)
         if C >= B:
             self.obs = call(*args)
-            return
-        outs = []
-        for s in range(0, B, C):
-            outs.append(call(*(x[s:s + C] for x in args)))
-        self.obs = jax.tree_util.tree_map(
-            lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+        else:
+            outs = []
+            for s in range(0, B, C):
+                outs.append(call(*(x[s:s + C] for x in args)))
+            self.obs = jax.tree_util.tree_map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+        # bulk host copies for replay logging (one transfer per step, not
+        # one per env)
+        self._rgb_np = np.asarray(self.obs.rgb)
+        self._depth_np = np.asarray(self.obs.depth)
 
     def _pretransform_obs(self, i):
-        rgb = np.asarray(self.obs.rgb[i])
-        d = np.asarray(self.obs.depth[i])
+        rgb = self._rgb_np[i]
+        d = self._depth_np[i]
         return np.concatenate(
             [np.transpose(rgb, (2, 0, 1)), d[None]], axis=0).astype(np.float32)
 
@@ -411,7 +415,7 @@ class BatchSimEnv:
         Device: one vmapped step (fused) or a begin/chunk*/finish sequence
         (chunked).  Host: replay logging + per-env resets."""
         vm = jnp.asarray(value_maps)
-        prev_obs_stack = np.asarray(self.obs.obs_stack)
+        prev_stack_dev = self.obs.obs_stack  # gather AFTER sel is known
         if self.exec_mode == "chunked":
             out = self._step_device_chunked(vm)
         else:
@@ -432,13 +436,21 @@ class BatchSimEnv:
         pre_cov = np.asarray(pre_cov)
         post_cov = np.asarray(post_cov)
         terminate = np.asarray(terminate)
+        # replay stores only the SELECTED transform's observation: gather it
+        # on device instead of downloading the whole (B, T, 4, D, D) stack
+        # (~800 MB/step at 128 envs over the tunnel)
+        sel_obs = np.asarray(jax.vmap(lambda s, t: s[t])(
+            prev_stack_dev, sel.transform_idx))
+        # one bulk download of the selection pytree (per-element indexing of
+        # device arrays would cost B x fields round-trips over the tunnel)
+        sel = jax.tree_util.tree_map(np.asarray, sel)
 
         reload_idx = []
         for i in range(self.num_envs):
             mem = self.memories[i]
             t = int(sel.transform_idx[i])
             prim = self.action_primitives[int(sel.prim_idx[i])]
-            mem.add_observation(prev_obs_stack[i, t])
+            mem.add_observation(sel_obs[i])
             mem.add_action(np.asarray(sel.action_mask[i]))
             mem.add_value("preaction_coverage", float(pre_cov[i]))
             mem.add_value("postaction_coverage", float(post_cov[i]))

@@ -23,7 +23,8 @@ exec bash scripts/retry.sh 100 150 \
     --spring_mode chebyshev \
     --contact_every 2 \
     --render_dim 256 \
-    --batch_size 64 \
-    --batches_per_update 4 \
-    --warmup 96 \
+    --batch_size 128 \
+    --batches_per_update 2 \
+    --warmup 128 \
+    --save_ckpt 32 \
     --seed 42
