@@ -214,15 +214,32 @@ class MaximumValuePolicy:
     def act(self, obs_stacks: List) -> List[Dict[str, jnp.ndarray]]:
         return [self.value_maps(o) for o in obs_stacks]
 
-    def batch_value_maps(self, obs: jnp.ndarray) -> jnp.ndarray:
+    def batch_value_maps(self, obs: jnp.ndarray,
+                         max_infer_batch: int = 4096) -> jnp.ndarray:
         """(B, T, 4, D, D) -> (B, P, T, D, D) for BatchSimEnv: the whole
-        env batch runs through each net as one flattened conv batch."""
+        env batch runs through each net as one flattened conv batch
+        (sliced to <= max_infer_batch images to bound activation memory at
+        large env counts)."""
         B, T = obs.shape[0], obs.shape[1]
         flat = obs.reshape((B * T,) + obs.shape[2:])
+        n = flat.shape[0]
         maps = []
         for key in self.action_primitives:
             ns = self.nets[key]
-            vm = value_map_inference(ns.net, ns.params, ns.batch_stats, flat)
+            if n <= max_infer_batch:
+                vm = value_map_inference(
+                    ns.net, ns.params, ns.batch_stats, flat)
+            else:
+                # equal-size slices -> one compiled program per shape
+                k = -(-n // max_infer_batch)
+                step = -(-n // k)
+                pad = k * step - n
+                fp = jnp.concatenate([flat, flat[:pad]]) if pad else flat
+                vm = jnp.concatenate([
+                    value_map_inference(
+                        ns.net, ns.params, ns.batch_stats,
+                        fp[s:s + step])
+                    for s in range(0, k * step, step)])[:n]
             maps.append(vm.reshape(B, T, self.obs_dim, self.obs_dim))
         out = jnp.stack(maps, axis=1)  # (B, P, T, D, D)
         # exploration (per whole batch step, cheaper than per env)
