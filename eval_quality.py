@@ -67,6 +67,8 @@ def main():
     p.add_argument("--substeps", type=int, default=4)
     p.add_argument("--iterations", type=int, default=30)
     p.add_argument("--contact_every", type=int, default=2)
+    p.add_argument("--contact_iterations", type=int, default=8)
+    p.add_argument("--contact_window", type=int, default=16)
     p.add_argument("--exec_mode", choices=["chunked", "fused"],
                    default="chunked")
     p.add_argument("--chunk_steps", type=int, default=64)
@@ -102,6 +104,8 @@ def main():
         substeps=args.substeps,
         iterations=args.iterations,
         contact_every=args.contact_every,
+        contact_iterations=args.contact_iterations,
+        contact_window=args.contact_window,
         domain_randomization=args.domain_randomization,
         exec_mode=args.exec_mode,
         chunk_steps=args.chunk_steps,

@@ -75,6 +75,8 @@ class BatchSimEnv:
         spring_mode: str = "gs",
         contact_mode: str = "block",
         contact_every: int = 1,
+        contact_iterations: int = 8,
+        contact_window: int = 16,
         backend: str = "xla",
         substeps: int = 4,
         iterations: int = 30,
@@ -116,7 +118,9 @@ class BatchSimEnv:
         self.sim_kw = dict(
             self_collision=self_collision, spring_mode=spring_mode,
             contact_mode=contact_mode,
-            contact_every=contact_every, backend=backend,
+            contact_every=contact_every,
+            contact_iterations=contact_iterations,
+            contact_window=contact_window, backend=backend,
             substeps=substeps, iterations=iterations)
         self.max_grid_dim = max_grid_dim
         self.mesh_caps = mesh_caps

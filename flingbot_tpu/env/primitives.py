@@ -378,6 +378,8 @@ def _make_body(
     spring_mode: str,
     contact_mode: str,
     contact_every: int,
+    contact_iterations: int,
+    contact_window: int,
     backend: str,
     record_frames: int,
     record_every: int,
@@ -539,7 +541,9 @@ def _make_body(
                 s, topo, params, substeps=substeps, iterations=iterations,
                 self_collision=self_collision, spring_mode=spring_mode,
                 contact_mode=contact_mode,
-                contact_every=contact_every, backend=backend)
+                contact_every=contact_every,
+                contact_iterations=contact_iterations,
+                contact_window=contact_window, backend=backend)
 
         st = jax.lax.cond(is_jump_kind, lambda s: s, do_sim, st)
 
@@ -614,6 +618,8 @@ def run_program(
     spring_mode: str = "gs",
     contact_mode: str = "block",
     contact_every: int = 1,
+    contact_iterations: int = 8,
+    contact_window: int = 16,
     backend: str = "xla",
     record_frames: int = 0,
     record_every: int = 8,
@@ -628,6 +634,8 @@ def run_program(
         topo, params, program, substeps=substeps, iterations=iterations,
         self_collision=self_collision, spring_mode=spring_mode,
         contact_mode=contact_mode, contact_every=contact_every,
+        contact_iterations=contact_iterations,
+        contact_window=contact_window,
         backend=backend, record_frames=record_frames,
         record_every=record_every)
 
@@ -656,6 +664,8 @@ def program_chunk(
     spring_mode: str = "gs",
     contact_mode: str = "block",
     contact_every: int = 1,
+    contact_iterations: int = 8,
+    contact_window: int = 16,
     backend: str = "xla",
     record_frames: int = 0,
     record_every: int = 8,
@@ -672,6 +682,8 @@ def program_chunk(
         topo, params, program, substeps=substeps, iterations=iterations,
         self_collision=self_collision, spring_mode=spring_mode,
         contact_mode=contact_mode, contact_every=contact_every,
+        contact_iterations=contact_iterations,
+        contact_window=contact_window,
         backend=backend, record_frames=record_frames,
         record_every=record_every)
 
@@ -694,7 +706,8 @@ def program_chunk(
     jax.jit,
     static_argnames=(
         "primitive", "cfg", "substeps", "iterations", "self_collision",
-        "spring_mode", "contact_mode", "contact_every", "backend",
+        "spring_mode", "contact_mode", "contact_every",
+        "contact_iterations", "contact_window", "backend",
     ),
 )
 def execute_primitive(
@@ -713,6 +726,8 @@ def execute_primitive(
     spring_mode: str = "gs",
     contact_mode: str = "block",
     contact_every: int = 1,
+    contact_iterations: int = 8,
+    contact_window: int = 16,
     backend: str = "xla",
 ):
     """Build + run one primitive program.  Returns (state, terminated)."""
@@ -724,5 +739,7 @@ def execute_primitive(
         max_steps=cfg.max_program_steps, substeps=substeps,
         iterations=iterations, self_collision=self_collision,
         spring_mode=spring_mode, contact_mode=contact_mode,
-        contact_every=contact_every, backend=backend,
+        contact_every=contact_every,
+        contact_iterations=contact_iterations,
+        contact_window=contact_window, backend=backend,
     )

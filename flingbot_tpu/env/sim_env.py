@@ -48,6 +48,7 @@ STABLE_MAX_STEPS = 300
 
 def _stabilize(state, topo, params, *, substeps, iterations, self_collision,
                spring_mode, contact_mode="block", contact_every=1,
+               contact_iterations=8, contact_window=16,
                backend="xla",
                max_steps=STABLE_MAX_STEPS, tol=STABLE_TOL):
     """wait_until_stable as a bounded while_loop (flex_utils.py:430-441)."""
@@ -65,7 +66,9 @@ def _stabilize(state, topo, params, *, substeps, iterations, self_collision,
         st = solver_step(st, topo, params, substeps=substeps,
                          iterations=iterations, self_collision=self_collision,
                          spring_mode=spring_mode, contact_mode=contact_mode,
-                         contact_every=contact_every, backend=backend)
+                         contact_every=contact_every,
+                         contact_iterations=contact_iterations,
+                         contact_window=contact_window, backend=backend)
         return st, k + 1
 
     state, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
@@ -77,7 +80,8 @@ def _stabilize(state, topo, params, *, substeps, iterations, self_collision,
     static_argnames=("primitives", "prim_cfg", "pix_grasp_dist",
                      "pix_drag_dist", "pix_place_dist", "substeps",
                      "iterations", "self_collision", "spring_mode",
-                     "contact_mode", "contact_every", "backend",
+                     "contact_mode", "contact_every", "contact_iterations",
+                     "contact_window", "backend",
                      "record_frames", "record_every"),
 )
 def step_core(
@@ -98,6 +102,8 @@ def step_core(
     spring_mode: str = "gs",
     contact_mode: str = "block",
     contact_every: int = 1,
+    contact_iterations: int = 8,
+    contact_window: int = 16,
     backend: str = "xla",
     record_frames: int = 0,
     record_every: int = 8,
@@ -117,7 +123,9 @@ def step_core(
     sim_kw = dict(substeps=substeps, iterations=iterations,
                   self_collision=self_collision, spring_mode=spring_mode,
                   contact_mode=contact_mode,
-                  contact_every=contact_every, backend=backend)
+                  contact_every=contact_every,
+                  contact_iterations=contact_iterations,
+                  contact_window=contact_window, backend=backend)
 
     def make_branch(prim_name):
         def branch(st):
@@ -244,6 +252,8 @@ class SimEnv:
         spring_mode: str = "gs",
         contact_mode: str = "block",
         contact_every: int = 1,
+        contact_iterations: int = 8,
+        contact_window: int = 16,
         backend: str = "xla",
         substeps: int = 4,
         iterations: int = 30,
@@ -282,6 +292,8 @@ class SimEnv:
         self.spring_mode = spring_mode
         self.contact_mode = contact_mode
         self.contact_every = contact_every
+        self.contact_iterations = contact_iterations
+        self.contact_window = contact_window
         self.backend = backend
         self.substeps = substeps
         self.iterations = iterations
@@ -388,6 +400,8 @@ class SimEnv:
             spring_mode=self.spring_mode,
             contact_mode=self.contact_mode,
             contact_every=self.contact_every,
+            contact_iterations=self.contact_iterations,
+            contact_window=self.contact_window,
             backend=self.backend,
             record_frames=self.record_frames,
             record_every=self.record_every,

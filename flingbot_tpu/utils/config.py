@@ -85,6 +85,8 @@ def config_parser(parser: ArgumentParser = None) -> ArgumentParser:
     parser.add_argument("--substeps", type=int, default=4)
     parser.add_argument("--iterations", type=int, default=30)
     parser.add_argument("--contact_every", type=int, default=1)
+    parser.add_argument("--contact_iterations", type=int, default=8)
+    parser.add_argument("--contact_window", type=int, default=16)
     parser.add_argument("--no_self_collision", action="store_true",
                         default=False)
     parser.add_argument("--max_grid_dim", type=int, default=104)

@@ -85,3 +85,23 @@ class TestChunkedExecution:
         env.step(vm)  # episode_length=1 -> both slots reload
         assert env.episodes_done == 2
         assert (env.init_coverage > 0).all()
+
+
+def test_contact_knobs_plumb_through(task_file, tmp_path):
+    """--contact_iterations/--contact_window reach the solver (sweep configs
+    from scripts/perf_sweep_r3.py must be reproducible in training/eval)."""
+    loader = TaskLoader(task_file)
+    env = BatchSimEnv(
+        get_task_fn=loader.get_next_task, num_envs=2,
+        replay_buffer_path=str(tmp_path / "knobs.hdf5"),
+        obs_dim=64, num_rotations=2, scale_factors=[1.0, 1.5],
+        render_dim=128, max_grid_dim=MAX_DIM, seed=7, episode_length=2,
+        exec_mode="chunked", chunk_steps=16, self_collision=True,
+        contact_mode="sort", contact_every=2,
+        contact_iterations=4, contact_window=8, spring_mode="chebyshev")
+    assert env.sim_kw["contact_iterations"] == 4
+    assert env.sim_kw["contact_window"] == 8
+    obs = np.asarray(env.reset())
+    vm = np.random.default_rng(0).uniform(
+        size=(2, 1, obs.shape[1], 64, 64)).astype(np.float32)
+    env.step(vm)  # must compile + run with the non-default knobs
