@@ -467,7 +467,7 @@ def _cached_sweep_order(state, flatP, participate, radius, resort_interval):
 def _step_grid_pallas(Pl, Vl, wl, valid, moving, state, topo, params,
                       substeps, iterations, self_collision, spring_mode,
                       contact_every, contact_window, contact_iterations,
-                      picker_radius, interpret):
+                      picker_radius, interpret, aero=False):
     """Round-2 fused pipeline: `pallas_substeps` launches (contact_every
     substeps per launch: integrate + Chebyshev-Jacobi springs + ground
     plane + velocity finalize + picker spheres, all VMEM-resident)
@@ -491,6 +491,52 @@ def _step_grid_pallas(Pl, Vl, wl, valid, moving, state, topo, params,
     flat_valid = valid.reshape(-1)
     mm = moving[None]
 
+    def contacts(Pl, Vl, prevL):
+        # contacts -> plane -> speed-clamped velocity add -> picker
+        # (same as _substep + _run_substeps; the kernel already applied
+        # the spring-phase clamp)
+        P2 = collisions.contact_group(
+            Pl.reshape(3, -1), prevL.reshape(3, -1), wl.reshape(-1),
+            flat_valid, params, rest_dist=params.radius, lattice_w=W,
+            window=contact_window, iterations=contact_iterations,
+            backend="pallas", interpret=interpret,
+        ).reshape(3, H, W)
+        P2 = solve_plane(P2, prevL, params, moving)
+        P2, Vl2 = _add_delta_clamped(
+            Pl, P2, Vl, dt_sub, params.max_acceleration * dt_sub, mm)
+        Pl = solve_picker_spheres(P2, state.picker_pos, picker_radius,
+                                  params, moving)
+        return Pl, Vl2
+
+    if aero:
+        # Aero (NvFlex drag/lift/wind, NvFlex.h:120-122) is a per-substep
+        # velocity kick that depends on the cloth normals, so the fused
+        # multi-substep launch can't carry it — run ONE substep per launch
+        # and apply the kick between launches.  Ordering parity with
+        # _substep (gravity -> aero -> damping): the kick is computed on
+        # the post-gravity velocity, while the kernel itself integrates
+        # gravity and damping, so the kernel's damped velocity equals
+        # damp * (V + dt*g + dt*aero(V + dt*g)) exactly as the XLA path.
+        # Slower than the fused launch (flingbot scenes run drag/lift/
+        # wind = 0, main.cpp:753-764, and never take this branch).
+        from flingbot_tpu.engine.aero import aero_accel, grid_normals
+
+        g = params.gravity.reshape(3, 1, 1)
+        for s in range(substeps):
+            Vg = Vl + dt_sub * g
+            Vl = Vl + dt_sub * jnp.where(
+                mm, aero_accel(Vg, grid_normals(Pl, valid), params, moving),
+                0.0)
+            contact_now = self_collision and ((s + 1) % contact_every == 0)
+            Pn, Vn, prevL = pallas_substeps(
+                pvec[None], Pl[None], Vl[None], wl[None],
+                n_sub=1, iterations=iterations, cheb=cheb,
+                picker_last=not contact_now, interpret=interpret)
+            Pl, Vl, prevL = Pn[0], Vn[0], prevL[0]
+            if contact_now:
+                Pl, Vl = contacts(Pl, Vl, prevL)
+        return Pl, Vl
+
     n_sub = contact_every if self_collision else substeps
     n_groups = max(1, substeps // n_sub)
     assert n_groups * n_sub == substeps, (
@@ -503,20 +549,7 @@ def _step_grid_pallas(Pl, Vl, wl, valid, moving, state, topo, params,
             picker_last=not self_collision, interpret=interpret)
         Pl, Vl, prevL = Pn[0], Vn[0], prevL[0]
         if self_collision:
-            # contacts -> plane -> speed-clamped velocity add -> picker
-            # (same as _substep + _run_substeps; the kernel already applied
-            # the spring-phase clamp)
-            P2 = collisions.contact_group(
-                Pl.reshape(3, -1), prevL.reshape(3, -1), wl.reshape(-1),
-                flat_valid, params, rest_dist=params.radius, lattice_w=W,
-                window=contact_window, iterations=contact_iterations,
-                backend="pallas", interpret=interpret,
-            ).reshape(3, H, W)
-            P2 = solve_plane(P2, prevL, params, moving)
-            P2, Vl = _add_delta_clamped(
-                Pl, P2, Vl, dt_sub, params.max_acceleration * dt_sub, mm)
-            Pl = solve_picker_spheres(P2, state.picker_pos, picker_radius,
-                                      params, moving)
+            Pl, Vl = contacts(Pl, Vl, prevL)
     return Pl, Vl
 
 
@@ -532,15 +565,11 @@ def _step_grid(state, topo, params, substeps, iterations, self_collision,
     moving = valid & (wl > 0)
 
     if backend == "pallas":
-        if aero:
-            raise NotImplementedError(
-                "aero is only implemented on the XLA backend; the flingbot "
-                "scene runs with drag/lift/wind = 0 (main.cpp:753-764)")
         Pl, Vl = _step_grid_pallas(
             Pl, Vl, wl, valid, moving, state, topo, params, substeps,
             iterations, self_collision, spring_mode, contact_every,
             contact_window, contact_iterations, picker_radius,
-            pallas_interpret)
+            pallas_interpret, aero=aero)
         positions = scatter_from_lattice(Pl, state.positions, topo)
         velocities = scatter_from_lattice(Vl, state.velocities, topo)
         return state.replace(

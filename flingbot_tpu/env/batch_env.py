@@ -395,11 +395,20 @@ class BatchSimEnv:
             obs_sl = jax.tree_util.tree_map(sl, self.obs)
             sel, pre_cov, pre_pos, carry, prog = self._vm_begin(
                 state_sl, topo_sl, self.params, vm[s:s + C], obs_sl, rot)
+            # Pipelined dispatch: enqueue chunk k+1 BEFORE blocking on chunk
+            # k's done flag, so the host's done-download round-trip (one
+            # scalar over the tunnel) overlaps with device execution and the
+            # device queue never drains.  A chunk dispatched on an
+            # already-done carry is a no-op (program_chunk's loop condition
+            # is false at entry), so the single overshoot chunk is free.
+            prev_done = None
             for _ in range(max_iters):
                 carry, done = self._vm_chunk(
                     carry, topo_sl, self.params, prog)
-                if bool(np.all(np.asarray(done))):
+                if prev_done is not None \
+                        and bool(np.all(np.asarray(prev_done))):
                     break
+                prev_done = done
             fin = self._vm_finish(carry, pre_pos)
             if self.record_frames > 0:
                 new_state, post_cov, terminate, frames, n_frames = fin

@@ -8,7 +8,7 @@
 set -u
 LOG=${1:-runs/round3}
 ENVS=${2:-128}
-CHUNK=${3:-48}
+CHUNK=${3:-192}
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 export JAX_COMPILATION_CACHE_DIR=/root/jaxcache
@@ -21,10 +21,13 @@ exec bash scripts/retry.sh 100 150 \
     --chunk_steps "$CHUNK" \
     --backend pallas \
     --spring_mode chebyshev \
+    --iterations 16 \
+    --contact_iterations 4 \
+    --contact_window 12 \
     --contact_every 2 \
     --render_dim 256 \
     --batch_size 128 \
     --batches_per_update 2 \
     --warmup 128 \
-    --save_ckpt 32 \
+    --save_ckpt 8 \
     --seed 42
