@@ -12,8 +12,9 @@ cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 export JAX_COMPILATION_CACHE_DIR=/root/jaxcache
 COMMON="--tasks data_r3/rect_eval_hard_100.hdf5 --steps 3 --num_envs 16 \
-  --backend pallas --spring_mode chebyshev --contact_every 2 \
-  --exec_mode chunked --chunk_steps 64 --episodes $EPISODES"
+  --backend pallas --spring_mode chebyshev --iterations 16 \
+  --contact_iterations 4 --contact_window 12 --contact_every 2 \
+  --exec_mode chunked --chunk_steps 192 --episodes $EPISODES"
 
 echo "=== heuristic baseline"
 bash scripts/retry.sh 3 150 python eval_quality.py --policy heuristic $COMMON
