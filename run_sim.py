@@ -129,13 +129,17 @@ def main():
 
     i = get_dataset_size(dataset_path)
     eval_episode_target = len(task_loader) if args.eval else None
+    import time as _time
     while True:
+        _t0 = _time.perf_counter()
         vm = policy.batch_value_maps(obs)
+        _t1 = _time.perf_counter()
         try:
             obs = env.step(vm)
         except StopIteration:
             print("[eval] task set exhausted")
             break
+        _t2 = _time.perf_counter()
         dataset_size = get_dataset_size(dataset_path)
         if i > args.warmup:
             policy.decay_exploration()
@@ -148,6 +152,9 @@ def main():
                 writer=writer,
             )
             save_checkpoint(f"{args.log}/latest_ckpt.pth", policy)
+            _t3 = _time.perf_counter()
+            print(f"[round {i}] act {_t1 - _t0:.1f}s step {_t2 - _t1:.1f}s "
+                  f"optimize {_t3 - _t2:.1f}s n={dataset_size}", flush=True)
             if i % args.save_ckpt == 0:
                 save_checkpoint(
                     f"{args.log}/ckpt_{policy.steps():06d}.pth", policy)
