@@ -402,7 +402,9 @@ def contact_group(P, prev, w, active, params, *, rest_dist, lattice_w=None,
             window=window, iterations=iterations, rest=rest_sorted)
 
     if mesh:
-        key_inv = pk & ((1 << 20) - 1)
+        from flingbot_tpu.engine.pallas_kernels import PACK_IMMOBILE_BIT
+
+        key_inv = pk & ((1 << PACK_IMMOBILE_BIT) - 1)
     else:
         key_inv = ((pk >> 8) & 0xFFF) * lattice_w + (pk & 0xFF)
     _, rx, ry, rz = jax.lax.sort((key_inv, ox, oy, oz), dimension=0,

@@ -92,7 +92,8 @@ def _substeps_kernel(param_ref, P_ref, V_ref, w_ref,
     solver._substep) -> picker spheres POSITION-ONLY.  When
     picker_last=False the last substep's picker push is omitted so the
     caller can insert the contact group first (contacts -> plane ->
-    unclamped velocity add -> picker, the solver._substep order)."""
+    velocity add under the same speed-up-only clamp -> picker, the
+    solver._substep order)."""
     dt = param_ref[0, 0]
     gravity_y = param_ref[0, 1]
     damping = param_ref[0, 2]

@@ -477,8 +477,9 @@ def _step_grid_pallas(Pl, Vl, wl, valid, moving, state, topo, params,
     Implements the NvFlexUpdateSolver substep pipeline (NvFlex.h:197-223)
     with self-collision solved once per `contact_every` substeps.  The
     contact-substep ordering matches solver._substep EXACTLY: springs ->
-    clamped velocity finalize (spring phase only) -> contacts -> plane ->
-    unclamped velocity add -> picker spheres position-only (the kernel
+    clamped velocity finalize (speed-up-only clamp, spring phase) ->
+    contacts -> plane -> velocity add under the SAME speed-up-only clamp
+    (_add_delta_clamped) -> picker spheres position-only (the kernel
     defers the last substep's picker via picker_last=False)."""
     from flingbot_tpu.engine.pallas_kernels import (
         pack_sub_params, pallas_substeps)

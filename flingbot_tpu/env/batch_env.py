@@ -25,7 +25,11 @@ import numpy as np
 
 from flingbot_tpu.engine.state import SolverParams
 from flingbot_tpu.env.observation import compute_observation
-from flingbot_tpu.env.primitives import PrimitiveConfig, program_chunk
+from flingbot_tpu.env.primitives import (
+    STABLE_MAX_STEPS,
+    PrimitiveConfig,
+    program_chunk,
+)
 from flingbot_tpu.env.scene import set_scene
 from flingbot_tpu.env.sim_env import (
     PARK_PICKERS,
@@ -198,7 +202,14 @@ class BatchSimEnv:
                 functools.partial(
                     program_chunk,
                     chunk_steps=self.chunk_steps,
-                    max_steps=self.prim_cfg.max_program_steps,
+                    # the chunked program ENDS in a STABILIZE phase; the
+                    # fused path budgets stabilize separately on top of
+                    # max_program_steps (sim_env.step_core), so the chunked
+                    # cap must include it or long programs lose their
+                    # settle (fused/chunked parity in the long-episode
+                    # regime)
+                    max_steps=(self.prim_cfg.max_program_steps
+                               + STABLE_MAX_STEPS),
                     record_frames=self.record_frames,
                     record_every=self.record_every,
                     **self.sim_kw,
@@ -383,10 +394,10 @@ class BatchSimEnv:
         rot = jnp.asarray(self.rotations)
         C = self.env_chunk
         B = self.num_envs
-        # conservative bound on chunk iterations (sim steps + jump-only
-        # interpreter iterations)
-        max_iters = (self.prim_cfg.max_program_steps + 400) \
-            // max(1, self.chunk_steps) + 4
+        # conservative bound on chunk iterations (sim steps incl. the
+        # STABILIZE budget + jump-only interpreter iterations)
+        max_iters = (self.prim_cfg.max_program_steps + STABLE_MAX_STEPS
+                     + 400) // max(1, self.chunk_steps) + 4
         outs = []
         for s in range(0, B, C):
             sl = lambda x: x[s:s + C]

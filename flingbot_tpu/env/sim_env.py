@@ -29,7 +29,10 @@ from flingbot_tpu.env.action import ActionSelection, select_action
 from flingbot_tpu.env.coverage import get_current_covered_area
 from flingbot_tpu.env.observation import Observation, compute_observation
 from flingbot_tpu.env.primitives import (
+    _RESET_TARGETS,
     PROGRAM_BUILDERS,
+    STABLE_MAX_STEPS,
+    STABLE_TOL,
     PrimitiveConfig,
     build_selected_program,
     init_program_carry,
@@ -40,10 +43,11 @@ from flingbot_tpu.env.scene import set_scene
 from flingbot_tpu.env.tasks import Task
 from flingbot_tpu.learning.memory import Memory
 
-PARK_PICKERS = np.array([[0.5, 0.5, -0.5], [-0.5, 0.5, -0.5]], np.float32)
+# single source of truth for the stabilize/park constants is primitives.py:
+# the chunked STABILIZE phase and this fused postaction must stay
+# numerically identical (test_chunked_exec asserts it)
+PARK_PICKERS = np.asarray(_RESET_TARGETS, np.float32)
 NO_MOVE_EPS = 5e-2  # postaction early-exit threshold (simEnv.py:475-477)
-STABLE_TOL = 1e-2  # wait_until_stable tolerance (flex_utils.py:430)
-STABLE_MAX_STEPS = 300
 
 
 def _stabilize(state, topo, params, *, substeps, iterations, self_collision,

@@ -685,16 +685,31 @@ def generate_tasks_batch(
         TOSSES = 10
     if chunk_steps:
         K = int(chunk_steps)
+        # build the jitted chunk programs ONCE (incl. the ragged final
+        # chunk's size, which is deterministic) — rebuilding the
+        # functools.partial per call would retrace every task batch
         if task_difficulty == "hard":
             anchored = jax.jit(jax.vmap(
                 functools.partial(
                     _anchored_chunk, n_steps=K, sweep_steps=SWEEP,
                     params=params, sim_kw=sim_kw),
                 in_axes=(0, 0, 0, 0, 0, None)))
+            rag = (SWEEP + HOLD) % K
+            anchored_part = None if rag == 0 else jax.jit(jax.vmap(
+                functools.partial(
+                    _anchored_chunk, n_steps=rag, sweep_steps=SWEEP,
+                    params=params, sim_kw=sim_kw),
+                in_axes=(0, 0, 0, 0, 0, None)))
         else:
             tosser = jax.jit(jax.vmap(
                 functools.partial(
                     _toss_chunk, n_steps=K, sweep_steps=SWEEP,
+                    params=params, sim_kw=sim_kw),
+                in_axes=(0, 0, 0, 0, 0, 0, 0, None)))
+            rag = (TOSSES * SWEEP) % K
+            tosser_part = None if rag == 0 else jax.jit(jax.vmap(
+                functools.partial(
+                    _toss_chunk, n_steps=rag, sweep_steps=SWEEP,
                     params=params, sim_kw=sim_kw),
                 in_axes=(0, 0, 0, 0, 0, 0, 0, None)))
         settler = jax.jit(jax.vmap(
@@ -716,21 +731,9 @@ def generate_tasks_batch(
                     batch_state, pick_idx)
                 total = SWEEP + HOLD
                 for s0 in range(0, total, K):
-                    n = min(K, total - s0)
-                    if n < K:
-                        part = jax.jit(jax.vmap(
-                            functools.partial(
-                                _anchored_chunk, n_steps=n,
-                                sweep_steps=SWEEP, params=params,
-                                sim_kw=sim_kw),
-                            in_axes=(0, 0, 0, 0, 0, None)))
-                        batch_state = part(batch_state, batch_topo,
-                                           pick_idx, start, target,
-                                           jnp.int32(s0))
-                    else:
-                        batch_state = anchored(batch_state, batch_topo,
-                                               pick_idx, start, target,
-                                               jnp.int32(s0))
+                    fn = anchored if total - s0 >= K else anchored_part
+                    batch_state = fn(batch_state, batch_topo, pick_idx,
+                                     start, target, jnp.int32(s0))
                 batch_state = jax.vmap(
                     lambda st, i, w: st.replace(
                         inv_mass=st.inv_mass.at[i].set(w)))(
@@ -742,12 +745,7 @@ def generate_tasks_batch(
                 sw = jnp.zeros((B,), jnp.float32)
                 carry = (batch_state, p0, p1, sw)
                 for s0 in range(0, total, K):
-                    n = min(K, total - s0)
-                    fn = tosser if n == K else jax.jit(jax.vmap(
-                        functools.partial(
-                            _toss_chunk, n_steps=n, sweep_steps=SWEEP,
-                            params=params, sim_kw=sim_kw),
-                        in_axes=(0, 0, 0, 0, 0, 0, 0, None)))
+                    fn = tosser if total - s0 >= K else tosser_part
                     carry = fn(carry[0], batch_topo, pick_idx, disps,
                                carry[1], carry[2], carry[3], jnp.int32(s0))
                 batch_state = carry[0]

@@ -6,8 +6,8 @@ CKPT=${1:-}
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 COMMON="--steps 3 --backend pallas --spring_mode chebyshev --iterations 16 \
-  --contact_iterations 4 --contact_window 12 --contact_every 2 \
-  --exec_mode chunked --chunk_steps 192"
+  --contact_mode sort --contact_iterations 4 --contact_window 12 \
+  --contact_every 2 --exec_mode chunked --chunk_steps 192"
 for SET in data_r3/rect_eval_hard_100.hdf5 data_r3/rect_eval_easy_64.hdf5 \
            data_r3/rect_eval_large_64.hdf5 data_r3/shirt_eval_16.hdf5; do
   [ -f "$SET" ] || { echo "skip missing $SET"; continue; }

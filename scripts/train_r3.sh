@@ -10,6 +10,9 @@ LOG=${1:-runs/round3}
 ENVS=${2:-128}
 CHUNK=${3:-192}
 cd /root/repo
+# record our process-group id so finalize_r3.sh can stop the whole run
+# (launch with `setsid bash scripts/train_r3.sh ...` so $$ IS the pgid)
+echo $$ > /tmp/train_r3b.pid
 export PYTHONPATH=/root/repo:/root/.axon_site
 export JAX_COMPILATION_CACHE_DIR=/root/jaxcache
 exec bash scripts/retry.sh 100 150 \
