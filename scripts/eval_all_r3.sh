@@ -16,9 +16,11 @@ for SET in data_r3/rect_eval_hard_100.hdf5 data_r3/rect_eval_easy_64.hdf5 \
   echo "=== heuristic on $SET"
   bash scripts/retry.sh 3 150 python eval_quality.py --tasks "$SET" \
     --policy heuristic --num_envs $N $GRID $COMMON
+  sleep 150  # single-client handoff gap (STATUS.md round-3 lesson)
   if [ -n "$CKPT" ]; then
     echo "=== ckpt $CKPT on $SET"
     bash scripts/retry.sh 3 150 python eval_quality.py --tasks "$SET" \
       --policy ckpt --load "$CKPT" --num_envs $N $GRID $COMMON
+    sleep 150  # handoff gap
   fi
 done

@@ -18,6 +18,7 @@ COMMON="--tasks data_r3/rect_eval_hard_100.hdf5 --steps 3 --num_envs 16 \
 
 echo "=== heuristic baseline"
 bash scripts/retry.sh 3 150 python eval_quality.py --policy heuristic $COMMON
+sleep 150  # single-client handoff gap (STATUS.md round-3 lesson)
 
 # at most 6 checkpoints, evenly spaced through training
 CKPTS=$(ls "$RUN"/ckpt_*.pth 2>/dev/null | sort)
@@ -29,4 +30,5 @@ for CKPT in $CKPTS; do
   echo "=== $CKPT"
   bash scripts/retry.sh 3 150 python eval_quality.py \
     --policy ckpt --load "$CKPT" $COMMON
+  sleep 150  # handoff gap
 done
