@@ -105,3 +105,33 @@ def test_contact_knobs_plumb_through(task_file, tmp_path):
     vm = np.random.default_rng(0).uniform(
         size=(2, 1, obs.shape[1], 64, 64)).astype(np.float32)
     env.step(vm)  # must compile + run with the non-default knobs
+
+
+def test_chunk_on_done_carry_is_noop(task_file, tmp_path):
+    """program_chunk on a finished carry returns immediately with the carry
+    unchanged — the invariant the pipelined dispatch in
+    BatchSimEnv._step_device_chunked relies on (it enqueues chunk k+1
+    before blocking on chunk k's done flag, so one overshoot chunk runs on
+    an already-done carry every step)."""
+    import jax
+
+    env = _mk_env(task_file, tmp_path, "noop", exec_mode="chunked",
+                  chunk_steps=64)
+    obs = np.asarray(env.reset())
+    vm = np.random.default_rng(0).uniform(
+        size=(2, 1, obs.shape[1], 64, 64)).astype(np.float32)
+    import jax.numpy as jnp
+
+    rot = jnp.asarray(env.rotations)
+    sel, pre_cov, pre_pos, carry, prog = env._vm_begin(
+        env.state, env.topo, env.params, jnp.asarray(vm), env.obs, rot)
+    for _ in range(200):
+        carry, done = env._vm_chunk(carry, env.topo, env.params, prog)
+        if bool(np.all(np.asarray(done))):
+            break
+    assert bool(np.all(np.asarray(done)))
+    carry2, done2 = env._vm_chunk(carry, env.topo, env.params, prog)
+    assert bool(np.all(np.asarray(done2)))
+    for a, b in zip(jax.tree_util.tree_leaves(carry),
+                    jax.tree_util.tree_leaves(carry2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
