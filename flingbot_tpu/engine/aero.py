@@ -40,6 +40,32 @@ def grid_normals(P, valid):
     return jnp.where(valid[None], n, 0.0)
 
 
+def mesh_normals(P, triangles, tri_mask, active):
+    """Per-particle normals of a mesh cloth P (3, N): area-weighted face
+    normals accumulated to vertices (the dynamic-triangle formulation
+    NvFlex's drag/lift acts on, NvFlex.h:120-122), then normalized.
+    triangles (T, 3) i32 padded, tri_mask (T,) bool."""
+    a = P[:, triangles[:, 0]]  # (3, T)
+    b = P[:, triangles[:, 1]]
+    c = P[:, triangles[:, 2]]
+    e1 = b - a
+    e2 = c - a
+    fn0 = e1[1] * e2[2] - e1[2] * e2[1]
+    fn1 = e1[2] * e2[0] - e1[0] * e2[2]
+    fn2 = e1[0] * e2[1] - e1[1] * e2[0]
+    fn = jnp.stack([fn0, fn1, fn2])  # (3, T), length = 2*area
+    fn = jnp.where(tri_mask[None], fn, 0.0)
+    acc = jnp.zeros_like(P)
+    for k in range(3):
+        acc = acc.at[:, triangles[:, k]].add(fn)
+    # accumulated normals scale with triangle AREA (~radius^2 ~ 4e-5 for
+    # flingbot spacing), so the normalization epsilon must sit far below
+    # area^2 or it shortens every normal
+    norm = jnp.sqrt(acc[0] ** 2 + acc[1] ** 2 + acc[2] ** 2 + 1e-18)
+    n = acc / norm[None]
+    return jnp.where(active[None], n, 0.0)
+
+
 def aero_accel(V, normals, params, moving_mask):
     """Acceleration from drag/lift/wind.  V, normals (3, ...)."""
     shape_tail = (1,) * (V.ndim - 1)

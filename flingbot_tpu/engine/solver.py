@@ -440,7 +440,7 @@ def step(
         state, topo, params, substeps, iterations, self_collision,
         spring_mode, contact_mode, contact_iterations, contact_every,
         resort_interval, picker_radius, backend, pallas_interpret,
-        contact_window,
+        contact_window, aero,
     )
 
 
@@ -646,7 +646,7 @@ def _step_grid(state, topo, params, substeps, iterations, self_collision,
 def _step_mesh(state, topo, params, substeps, iterations, self_collision,
                spring_mode, contact_mode, contact_iterations, contact_every,
                resort_interval, picker_radius, backend="xla",
-               pallas_interpret=False, contact_window=16):
+               pallas_interpret=False, contact_window=16, aero=False):
     """Mesh (shirt) step — solver parity with the grid path: Jacobi + local
     relaxation, optionally Chebyshev-accelerated (spring_mode "gs" and
     "chebyshev" both map to the accelerated loop; meshes have no stencil
@@ -702,9 +702,16 @@ def _step_mesh(state, topo, params, substeps, iterations, self_collision,
         raise ValueError(f"unknown mesh spring_mode {spring_mode!r}")
     solve_fn = lambda Px: solve_springs_mesh(Px, w, topo,
                                              params.relaxation_factor)
+    normals_fn = None
+    if aero:  # dynamic-triangle drag/lift (NvFlex.h:120-122), mesh form
+        from flingbot_tpu.engine.aero import mesh_normals
+
+        normals_fn = lambda Px: mesh_normals(
+            Px, topo.triangles, topo.tri_mask, state.active)
     P, V = _run_substeps(
         P, V, w, moving, params, substeps, iterations, solve_fn,
-        contact_fn, state.picker_pos, picker_radius, None, contact_every,
+        contact_fn, state.picker_pos, picker_radius, normals_fn,
+        contact_every,
         chebyshev=(spring_mode in ("gs", "chebyshev")),
     )
     return state.replace(

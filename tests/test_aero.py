@@ -54,3 +54,43 @@ class TestAero:
         b = run(state, SolverParams(), 5, aero=False)
         np.testing.assert_allclose(
             np.asarray(a.positions), np.asarray(b.positions), atol=1e-6)
+
+
+class TestMeshAero:
+    """Mesh-path aero: dynamic-triangle drag/lift (NvFlex.h:120-122) via
+    face-normal accumulation (aero.mesh_normals)."""
+
+    def _mesh(self, height=0.5):
+        from flingbot_tpu.engine.topology import grid_mesh_topology
+
+        topo = grid_mesh_topology(DIM, DIM)
+        pos = grid_positions(DIM, DIM, lower=(0.0, height, 0.0))
+        pos[:, [0, 2]] -= pos[:, [0, 2]].mean(axis=0)
+        inv_mass = np.full(DIM * DIM, DIM * DIM / 0.3, np.float32)
+        return topo, ClothState.create(pos, inv_mass)
+
+    def test_mesh_normals_flat_sheet_point_up(self):
+        from flingbot_tpu.engine.aero import mesh_normals
+
+        topo, state = self._mesh()
+        n = np.asarray(mesh_normals(
+            jnp.asarray(state.positions.T), topo.triangles, topo.tri_mask,
+            state.active))
+        ny = np.abs(n[1][np.asarray(state.active)])
+        assert (ny > 0.99).all()
+
+    def test_mesh_drag_slows_falling_cloth(self):
+        topo, state = self._mesh()
+
+        def run(params, aero):
+            fn = jax.jit(lambda s: step(
+                s, topo, params, self_collision=False, aero=aero))
+            s = state
+            for _ in range(20):
+                s = fn(s)
+            return s
+
+        no_aero = run(SolverParams(), aero=False)
+        dragged = run(SolverParams(drag=jnp.float32(20.0)), aero=True)
+        assert float(dragged.positions[:, 1].mean()) > \
+            float(no_aero.positions[:, 1].mean()) + 0.01
