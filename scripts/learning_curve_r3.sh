@@ -14,7 +14,12 @@ export JAX_COMPILATION_CACHE_DIR=/root/jaxcache
 COMMON="--tasks data_r3/rect_eval_hard_100.hdf5 --steps 3 --num_envs 16 \
   --backend pallas --spring_mode chebyshev --iterations 16 \
   --contact_iterations 4 --contact_window 12 --contact_every 2 \
-  --exec_mode chunked --chunk_steps 192 --episodes $EPISODES"
+  --exec_mode chunked --chunk_steps 192 --episodes $EPISODES \
+  --num_rotations 12 \
+  --scale_factors 1.0 1.25 1.5 1.75 2.0 2.25 2.5 2.75"
+# action space matches the TRAINING config (12 rotations x 8 scales, the
+# reference's 96-transform grid) so ckpts aren't evaluated on a coarser
+# action space than they trained with
 
 echo "=== heuristic baseline"
 bash scripts/retry.sh 3 150 python eval_quality.py --policy heuristic $COMMON
