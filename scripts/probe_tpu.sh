@@ -11,6 +11,16 @@ ATTEMPTS=${1:-4}
 QUIET=${2:-600}
 for i in $(seq 1 "$ATTEMPTS"); do
   echo "[probe_tpu] attempt $i/$ATTEMPTS ($(date))"
+  # relay-alive check first (round-3 outage): ECONNREFUSED on the axon
+  # relay port means the local tunnel died — no TPU op can succeed and
+  # retrying only wastes time; bail out distinctly (rc=2)
+  if ! python -c "
+import socket
+s = socket.socket(); s.settimeout(3)
+s.connect(('127.0.0.1', 8082)); s.close()" 2>/dev/null; then
+    echo "[probe_tpu] relay DEAD (connect refused on 127.0.0.1:8082) — wait for infra"
+    exit 2
+  fi
   if timeout 150 python -c "
 import jax
 jax.config.update('jax_compilation_cache_dir', '/root/jaxcache')
