@@ -16,7 +16,15 @@ handoff() {  # quiet gap between jobs, measured from *here* (job exited)
   sleep 10
 }
 
-bash scripts/probe_tpu.sh 6 600 || exit 1
+# wait for the axon relay to be back (round-3 outage: it can be down at
+# round start until the orchestrator respawns it) — TCP checks are free
+for i in $(seq 1 120); do
+  bash scripts/probe_tpu.sh 1 5; rc=$?
+  [ "$rc" -eq 0 ] && break
+  [ "$rc" -eq 2 ] && { echo "relay still down ($i/120)"; sleep 60; continue; }
+  sleep 300  # probe hung: worker-side trouble, longer quiet
+done
+bash scripts/probe_tpu.sh 2 600 || exit 1
 
 echo "=== learning curve on hard-100 ($(date))"
 bash scripts/learning_curve_r3.sh runs/round3 32 2>&1 | grep --line-buffered -v WARNING
