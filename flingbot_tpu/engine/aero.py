@@ -55,14 +55,20 @@ def mesh_normals(P, triangles, tri_mask, active):
     fn2 = e1[0] * e2[1] - e1[1] * e2[0]
     fn = jnp.stack([fn0, fn1, fn2])  # (3, T), length = 2*area
     fn = jnp.where(tri_mask[None], fn, 0.0)
+    fn_mag = jnp.sqrt(fn[0] ** 2 + fn[1] ** 2 + fn[2] ** 2)
     acc = jnp.zeros_like(P)
+    area_sum = jnp.zeros(P.shape[1], P.dtype)
     for k in range(3):
         acc = acc.at[:, triangles[:, k]].add(fn)
-    # accumulated normals scale with triangle AREA (~radius^2 ~ 4e-5 for
-    # flingbot spacing), so the normalization epsilon must sit far below
-    # area^2 or it shortens every normal
-    norm = jnp.sqrt(acc[0] ** 2 + acc[1] ** 2 + acc[2] ** 2 + 1e-18)
-    n = acc / norm[None]
+        area_sum = area_sum.at[triangles[:, k]].add(fn_mag)
+    # Coherence-scaled normal: |n| = |sum fn| / sum |fn| in [0, 1].  At a
+    # fold or seam where adjacent faces' normals cancel, the per-triangle
+    # NvFlex formulation (NvFlex.h:120-122) yields ~zero NET normal force;
+    # dividing the vector sum by the scalar area sum reproduces that
+    # (n -> 0) instead of normalizing numerical residue into a full unit
+    # vector of arbitrary direction.  On a coherent surface |n| = 1
+    # exactly, matching grid_normals.
+    n = acc / jnp.maximum(area_sum, 1e-12)[None]
     return jnp.where(active[None], n, 0.0)
 
 

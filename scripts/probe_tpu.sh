@@ -31,8 +31,10 @@ print(f'[probe_tpu] chip OK ({y:.0f}, {time.time()-t0:.1f}s)')
 "; then
     exit 0
   fi
-  echo "[probe_tpu] hung; ${QUIET}s of total quiet"
-  sleep "$QUIET"
+  if [ "$i" -lt "$ATTEMPTS" ]; then
+    echo "[probe_tpu] hung; ${QUIET}s of total quiet"
+    sleep "$QUIET"
+  fi
 done
 echo "[probe_tpu] chip still wedged after $ATTEMPTS attempts"
 exit 1

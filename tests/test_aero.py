@@ -94,3 +94,26 @@ class TestMeshAero:
         dragged = run(SolverParams(drag=jnp.float32(20.0)), aero=True)
         assert float(dragged.positions[:, 1].mean()) > \
             float(no_aero.positions[:, 1].mean()) + 0.01
+
+    def test_mesh_normals_cancel_at_folds(self):
+        """A cloth folded flat onto itself: adjacent faces' normals point
+        opposite ways, so the NET per-vertex normal must go to ~0 (the
+        per-triangle NvFlex formulation yields ~zero net force there) —
+        NOT get renormalized into a unit vector of noise direction."""
+        from flingbot_tpu.engine.aero import mesh_normals
+
+        # two coincident-plane triangles over the same 4 grid points with
+        # opposite windings = a 180-degree fold
+        P = jnp.asarray(np.array(
+            [[0, 0, 0], [1, 0, 0], [0, 0, 1], [1, 0, 1]], np.float32).T)
+        tris = jnp.asarray(np.array(
+            [[0, 1, 2], [1, 0, 3]], np.int32))  # opposite orientations
+        mask = jnp.ones(2, bool)
+        active = jnp.ones(4, bool)
+        n = np.asarray(mesh_normals(P, tris, mask, active))
+        # shared vertices 0 and 1 see both faces -> cancelled
+        assert np.linalg.norm(n[:, 0]) < 0.05
+        assert np.linalg.norm(n[:, 1]) < 0.05
+        # unshared vertices see one face -> coherent unit normal
+        assert abs(np.linalg.norm(n[:, 2]) - 1.0) < 1e-4
+        assert abs(np.linalg.norm(n[:, 3]) - 1.0) < 1e-4
