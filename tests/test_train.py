@@ -115,3 +115,53 @@ class TestStats:
         assert stats["episode_length/hard/mean"] == 2.0
         assert stats["action_primitive/percent_fling"] == 1.0
         assert "delta_coverage/hard/percent_positive" in stats
+
+
+def test_offline_trainer_script(tmp_path):
+    """scripts/offline_train_r3.py resumes a run dir (args.pkl +
+    latest_ckpt + replay buffer) and saves numbered ckpts — round 4's
+    post-collection training path."""
+    import os
+    import pickle
+    import subprocess
+    import sys
+
+    import h5py  # noqa: F401
+
+    from flingbot_tpu.learning.memory import Memory
+    from flingbot_tpu.learning.nets import MaximumValuePolicy
+    from flingbot_tpu.utils.checkpoint import save_checkpoint
+
+    log = tmp_path / "run"
+    log.mkdir()
+    args = dict(action_primitives=["fling"], num_rotations=4,
+                scale_factors=[1.0], obs_dim=32, seed=0)
+    with open(log / "args.pkl", "wb") as f:
+        pickle.dump(args, f)
+    policy = MaximumValuePolicy(**args)
+    save_checkpoint(str(log / "latest_ckpt.pth"), policy)
+    mem = Memory()
+    for step in range(6):
+        mem.add_observation(np.random.rand(4, 32, 32).astype(np.float32))
+        a = np.zeros((32, 32), np.float32)
+        a[step, step] = 1.0
+        mem.add_action(a)
+        mem.add_value("preaction_coverage", 0.3)
+        mem.add_value("postaction_coverage", 0.4)
+        mem.add_value("max_coverage", 1.0)
+        mem.add_value("action_primitive", "fling")
+        mem.add_value("task_difficulty", "hard")
+        mem.add_value("init_coverage", 0.3)
+        mem.add_rewards_and_termination(0.1, step == 5)
+    mem.dump(str(log / "replay_buffer.hdf5"))
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH="/root/repo")
+    out = subprocess.run(
+        [sys.executable, "/root/repo/scripts/offline_train_r3.py",
+         "--log", str(log), "--steps", "2", "--save_every", "1",
+         "--batch_size", "4"],
+        env=env, capture_output=True, text=True, timeout=420)
+    assert out.returncode == 0, out.stderr[-2000:]
+    cks = sorted(log.glob("ckpt_*.pth"))
+    assert len(cks) == 2, (out.stdout, out.stderr[-500:])
