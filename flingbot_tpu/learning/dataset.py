@@ -53,6 +53,7 @@ class GraspDataset:
         filter_fn: Optional[Callable] = None,
         obs_color_jitter: bool = True,
         use_normalized_coverage: bool = True,
+        mirror_augment: bool = False,
         seed: int = 0,
         **_unused,
     ):
@@ -62,6 +63,12 @@ class GraspDataset:
         self.depth_only = depth_only
         self.rgb_only = rgb_only
         self.obs_color_jitter = obs_color_jitter
+        # mirror augmentation (beyond-reference, physics-sound): cloth
+        # dynamics have no chirality, so x-flipping the observation AND the
+        # action mask together yields an equally-valid (obs, action,
+        # reward) transition — free 2x effective data.  Off by default for
+        # reference parity; enable with --mirror_augment.
+        self.mirror_augment = mirror_augment
         self.use_normalized_coverage = use_normalized_coverage
         self.rng = np.random.default_rng(seed)
         self.keys = self._get_keys()
@@ -121,6 +128,9 @@ class GraspDataset:
             obs = np.concatenate([rgb, obs[3:4]], axis=0)
         elif self.depth_only:
             pass  # the net slices channel 3 itself
+        if self.mirror_augment and self.rng.random() < 0.5:
+            obs = obs[..., ::-1].copy()
+            action = action[..., ::-1].copy()
         return obs, action, np.float32(reward)
 
     def sample_batch(self, batch_size: int):

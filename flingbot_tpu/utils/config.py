@@ -48,6 +48,11 @@ def config_parser(parser: ArgumentParser = None) -> ArgumentParser:
     parser.add_argument("--value_expl_decay", type=float, default=0.995)
     parser.add_argument("--obs_color_jitter", action=BooleanOptionalAction,
                         default=True)
+    parser.add_argument("--mirror_augment", action=BooleanOptionalAction,
+                        default=False,
+                        help="x-flip obs+action replay augmentation "
+                             "(physics-sound, beyond-reference; see "
+                             "GraspDataset)")
     parser.add_argument("--domain_randomization",
                         action=BooleanOptionalAction, default=True,
                         help="per-episode randomized floor texture + cloth "

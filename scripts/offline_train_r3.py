@@ -37,6 +37,8 @@ def main():
                    help="optimizer steps (batches) to run")
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--save_every", type=int, default=100)
+    p.add_argument("--mirror_augment", action="store_true",
+                   help="x-flip obs+action augmentation (GraspDataset)")
     p.add_argument("--seed", type=int, default=7)
     args = p.parse_args()
     seed_all(args.seed)
@@ -55,6 +57,7 @@ def main():
         return GraspDataset(
             hdf5_path=dataset_path,
             filter_fn=lambda g: g.attrs.get("action_primitive") == primitive,
+            mirror_augment=args.mirror_augment,
         )
 
     done = 0

@@ -160,3 +160,43 @@ class TestMemory:
             assert g.attrs["action_primitive"] == "fling"
             assert g["observations"].shape == (4, 8, 8)
             assert g["actions"].shape == (8, 8)
+
+
+class TestMirrorAugment:
+    def test_flip_is_consistent_and_stochastic(self, tmp_path):
+        """mirror_augment x-flips obs and action TOGETHER, ~half the time."""
+        from flingbot_tpu.learning.dataset import GraspDataset
+
+        path = str(tmp_path / "replay.hdf5")
+        mem = Memory()
+        obs = np.zeros((4, 8, 8), np.float32)
+        obs[0, 2, 1] = 1.0  # marker at column 1
+        a = np.zeros((8, 8), np.float32)
+        a[2, 1] = 1.0
+        mem.add_observation(obs)
+        mem.add_action(a)
+        mem.add_value("preaction_coverage", 0.1)
+        mem.add_value("postaction_coverage", 0.3)
+        mem.add_value("max_coverage", 1.0)
+        mem.add_value("action_primitive", "fling")
+        mem.add_value("task_difficulty", "hard")
+        mem.add_value("init_coverage", 0.1)
+        mem.add_rewards_and_termination(0.2, True)
+        mem.dump(path)
+
+        ds = GraspDataset(hdf5_path=path, mirror_augment=True, seed=3)
+        cols = set()
+        for _ in range(30):
+            o, m, r = ds[0]
+            (row, col) = np.argwhere(m)[0]
+            assert row == 2 and col in (1, 6)
+            # obs marker must flip WITH the mask
+            assert o[0, 2, col] == 1.0
+            assert r == np.float32(0.2)
+            cols.add(int(col))
+        assert cols == {1, 6}  # both orientations seen
+
+        ds_off = GraspDataset(hdf5_path=path, mirror_augment=False, seed=3)
+        for _ in range(5):
+            _, m, _ = ds_off[0]
+            assert np.argwhere(m)[0][1] == 1
