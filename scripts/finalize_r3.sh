@@ -1,4 +1,7 @@
 #!/bin/bash
+# DEPRECATED (round-3 postmortem): the handoff gaps here are measured
+# from the kill signal and lack relay/worker probes — use finalize_r3b.sh
+# instead (STATUS.md "TPU single-client handoff discipline").
 # Round-3 finalization: stop the training run at STOP_AT, then run the
 # capability evals (learning curve on the hard set, heuristic + best ckpt
 # on every eval set) and the headline bench, unattended.

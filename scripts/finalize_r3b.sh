@@ -1,4 +1,7 @@
 #!/bin/bash
+# DEPRECATED (round-3 postmortem): the handoff gaps here are measured
+# from the kill signal and lack relay/worker probes — use round4_first_hour.sh + probe_tpu.sh
+# instead (STATUS.md "TPU single-client handoff discipline").
 # Round-3 finalization v2: stop training at STOP_AT, run OFFLINE training
 # epochs on the final replay buffer (cheap: ~1.8 ms/sample host reads),
 # then the capability evals and the headline bench, unattended.
