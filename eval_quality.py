@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 
 import numpy as np
 
@@ -24,6 +25,11 @@ import jax
 jax.config.update("jax_compilation_cache_dir", "/root/jaxcache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# honor JAX_PLATFORMS even though sitecustomize pre-imports jax with the
+# axon platform frozen in (CLAUDE.md) — without this, CPU smoke runs of
+# the eval CLI silently target the TPU
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 
 def heuristic_value_maps(obs_stack: np.ndarray) -> np.ndarray:
