@@ -211,7 +211,8 @@ CHEBYSHEV_DELAY = 2  # plain Jacobi warm-up iterations
 CHEBYSHEV_GAMMA = 1.0
 
 
-def _chebyshev_loop(P, iterate_fn, iterations: int, plane_fn):
+def _chebyshev_loop(P, iterate_fn, iterations: int, plane_fn,
+                    rho=CHEBYSHEV_RHO):
     """Chebyshev semi-iterative acceleration of a Jacobi-style iteration
     (Descent/Chebyshev PBD, Wang 2015): matches FleX's Jacobi + local
     relaxation semantics (eNvFlexRelaxationLocal, NvFlex.h:89,152-153) but
@@ -221,8 +222,10 @@ def _chebyshev_loop(P, iterate_fn, iterations: int, plane_fn):
 
     The plane projection runs AFTER the extrapolation so the accelerated
     iterate stays feasible.  Mirrors _substeps_kernel's loop exactly (the
-    pallas backend is cross-checked against this path in tests)."""
-    rho2 = CHEBYSHEV_RHO * CHEBYSHEV_RHO
+    pallas backend is cross-checked against this path in tests).  `rho`
+    may be a traced scalar (SolverParams.chebyshev_rho) — sweeps
+    recompile nothing."""
+    rho2 = rho * rho
     gamma = CHEBYSHEV_GAMMA
 
     def body(k, carry):
@@ -321,7 +324,8 @@ def _substep(P, V, w, moving_mask, params, dt, iterations, solve_fn,
     if chebyshev:
         P = _chebyshev_loop(
             P, solve_fn, iterations,
-            lambda Q: solve_plane(Q, prev, params, moving_mask))
+            lambda Q: solve_plane(Q, prev, params, moving_mask),
+            rho=getattr(params, "chebyshev_rho", CHEBYSHEV_RHO))
     else:
         def body(_, P):
             P = solve_fn(P)
@@ -488,7 +492,8 @@ def _step_grid_pallas(Pl, Vl, wl, valid, moving, state, topo, params,
     dt_sub = params.dt / substeps
     cheb = spring_mode != "jacobi"  # "gs"/"chebyshev" -> accelerated Jacobi
     pvec = pack_sub_params(params, topo, state.picker_pos, picker_radius,
-                           dt_sub, CHEBYSHEV_RHO)
+                           dt_sub,
+                           getattr(params, "chebyshev_rho", CHEBYSHEV_RHO))
     flat_valid = valid.reshape(-1)
     mm = moving[None]
 

@@ -79,6 +79,13 @@ class SolverParams(struct.PyTreeNode):
     max_acceleration: jnp.ndarray = struct.field(
         default_factory=lambda: jnp.float32(100.0)
     )
+    # Chebyshev semi-iterative spectral-radius estimate (Wang 2015 ~0.99;
+    # no NvFlex analog — FleX's accelerator is internal).  A RUNTIME value
+    # on both backends (pallas carries it in the packed param vector), so
+    # rho sweeps recompile nothing.
+    chebyshev_rho: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.float32(0.992)
+    )
 
     @classmethod
     def flingbot_defaults(cls) -> "SolverParams":

@@ -80,7 +80,7 @@ def main():
 
     configs = []
     for iters, (c_it, c_win) in itertools.product(
-            (30, 24, 20, 16), ((8, 16), (6, 12), (4, 12))):
+            (30, 24, 20, 16, 12, 10), ((8, 16), (6, 12), (4, 12))):
         configs.append(dict(iterations=iters, contact_iterations=c_it,
                             contact_window=c_win, contact_every=2,
                             self_collision=True))
@@ -101,6 +101,20 @@ def main():
     print("BEST_BY_RATE:")
     for r in sorted(results, key=lambda r: -r["env_steps_per_s"])[:5]:
         print(json.dumps(r))
+
+    # rho sweep at the stiffest fast config — chebyshev_rho is a RUNTIME
+    # SolverParams leaf, so these rows share one compiled program
+    best = min((r for r in results
+                if r["cfg"]["iterations"] <= 16), default=None,
+               key=lambda r: r["hang_stretch"])
+    if best is not None:
+        cfg = dict(best["cfg"])
+        for rho in (0.97, 0.98, 0.985, 0.992, 0.996):
+            p = SolverParams(chebyshev_rho=jnp.float32(rho))
+            stretch = stretch_config(topo, p, **cfg)
+            print(json.dumps({"rho": rho, "cfg": cfg,
+                              "hang_stretch": round(stretch, 4)}),
+                  flush=True)
 
 
 if __name__ == "__main__":

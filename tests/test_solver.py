@@ -310,3 +310,35 @@ class TestLargeRect:
             self_collision=True, backend="pallas",
             pallas_interpret=True, contact_every=1))(state)
         assert np.isfinite(np.asarray(s.positions)).all()
+
+
+def test_chebyshev_rho_is_a_live_runtime_knob():
+    """SolverParams.chebyshev_rho changes the accelerated solve (so rho
+    sweeps work) without retracing: both rho values run through ONE
+    jitted function (rho is a traced leaf, not a static)."""
+    import jax
+
+    from flingbot_tpu.engine.state import ClothState, SolverParams
+    from flingbot_tpu.engine.topology import (
+        build_grid_topology, grid_positions)
+
+    dim = 12
+    topo = build_grid_topology(dim, dim, max_dimx=dim, max_dimy=dim)
+    pos = grid_positions(dim, dim, lower=(0.0, 0.5, 0.0))
+    n = dim * dim
+    st = ClothState.create(pos, np.full(n, n / 0.5, np.float32))
+    im = st.inv_mass.at[0].set(0.0)
+    st = st.replace(inv_mass=im, rest_inv_mass=im)
+
+    fn = jax.jit(lambda s, p: step(
+        s, topo, p, self_collision=False, spring_mode="chebyshev",
+        iterations=12))
+    outs = {}
+    for rho in (0.5, 0.992):
+        s = st
+        p = SolverParams(chebyshev_rho=jnp.float32(rho))
+        for _ in range(10):
+            s = fn(s, p)
+        outs[rho] = np.asarray(s.positions)
+    assert fn._cache_size() == 1  # one trace for both rho values
+    assert np.abs(outs[0.5] - outs[0.992]).max() > 1e-5
