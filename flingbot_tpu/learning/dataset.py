@@ -54,6 +54,7 @@ class GraspDataset:
         obs_color_jitter: bool = True,
         use_normalized_coverage: bool = True,
         mirror_augment: bool = False,
+        dihedral_augment: bool = False,
         seed: int = 0,
         **_unused,
     ):
@@ -68,7 +69,15 @@ class GraspDataset:
         # action mask together yields an equally-valid (obs, action,
         # reward) transition — free 2x effective data.  Off by default for
         # reference parity; enable with --mirror_augment.
+        #
+        # dihedral_augment extends this to the full D4 group (4 right-angle
+        # rotations x optional flip = 8 views): physics is invariant under
+        # any rotation about a vertical axis (gravity is vertical, the
+        # floor is a uniform infinite plane, the fling primitive rotates
+        # with the grasp-pair axis), and the transformed views are square,
+        # so rot90(obs)+rot90(action) is as valid as the x-flip.
         self.mirror_augment = mirror_augment
+        self.dihedral_augment = dihedral_augment
         self.use_normalized_coverage = use_normalized_coverage
         self.rng = np.random.default_rng(seed)
         self.keys = self._get_keys()
@@ -128,7 +137,17 @@ class GraspDataset:
             obs = np.concatenate([rgb, obs[3:4]], axis=0)
         elif self.depth_only:
             pass  # the net slices channel 3 itself
-        if self.mirror_augment and self.rng.random() < 0.5:
+        if self.dihedral_augment:
+            k = int(self.rng.integers(0, 4))
+            if k:
+                obs = np.rot90(obs, k, axes=(-2, -1))
+                action = np.rot90(action, k, axes=(-2, -1))
+            if self.rng.random() < 0.5:
+                obs = obs[..., ::-1]
+                action = action[..., ::-1]
+            obs = np.ascontiguousarray(obs)
+            action = np.ascontiguousarray(action)
+        elif self.mirror_augment and self.rng.random() < 0.5:
             obs = obs[..., ::-1].copy()
             action = action[..., ::-1].copy()
         return obs, action, np.float32(reward)

@@ -53,6 +53,11 @@ def config_parser(parser: ArgumentParser = None) -> ArgumentParser:
                         help="x-flip obs+action replay augmentation "
                              "(physics-sound, beyond-reference; see "
                              "GraspDataset)")
+    parser.add_argument("--dihedral_augment", action=BooleanOptionalAction,
+                        default=False,
+                        help="full D4 obs+action replay augmentation "
+                             "(4 rotations x flip = 8 views; supersedes "
+                             "--mirror_augment; see GraspDataset)")
     parser.add_argument("--domain_randomization",
                         action=BooleanOptionalAction, default=True,
                         help="per-episode randomized floor texture + cloth "

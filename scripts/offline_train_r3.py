@@ -39,6 +39,8 @@ def main():
     p.add_argument("--save_every", type=int, default=100)
     p.add_argument("--mirror_augment", action="store_true",
                    help="x-flip obs+action augmentation (GraspDataset)")
+    p.add_argument("--dihedral_augment", action="store_true",
+                   help="full D4 obs+action augmentation (GraspDataset)")
     p.add_argument("--seed", type=int, default=7)
     args = p.parse_args()
     seed_all(args.seed)
@@ -58,6 +60,7 @@ def main():
             hdf5_path=dataset_path,
             filter_fn=lambda g: g.attrs.get("action_primitive") == primitive,
             mirror_augment=args.mirror_augment,
+            dihedral_augment=args.dihedral_augment,
         )
 
     done = 0

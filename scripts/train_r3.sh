@@ -33,5 +33,5 @@ exec bash scripts/retry.sh 100 150 \
     --batches_per_update 2 \
     --warmup 128 \
     --save_ckpt 8 \
-    --mirror_augment \
+    --dihedral_augment \
     --seed 42

@@ -200,3 +200,41 @@ class TestMirrorAugment:
         for _ in range(5):
             _, m, _ = ds_off[0]
             assert np.argwhere(m)[0][1] == 1
+
+    def test_dihedral_covers_all_eight_views(self, tmp_path):
+        """dihedral_augment applies one of the 8 D4 transforms, obs and
+        action TOGETHER, and eventually produces all 8 marker positions."""
+        from flingbot_tpu.learning.dataset import GraspDataset
+
+        path = str(tmp_path / "replay.hdf5")
+        mem = Memory()
+        obs = np.zeros((4, 8, 8), np.float32)
+        obs[0, 2, 1] = 1.0  # off-center, off-diagonal marker
+        a = np.zeros((8, 8), np.float32)
+        a[2, 1] = 1.0
+        mem.add_observation(obs)
+        mem.add_action(a)
+        mem.add_value("preaction_coverage", 0.1)
+        mem.add_value("postaction_coverage", 0.3)
+        mem.add_value("max_coverage", 1.0)
+        mem.add_value("action_primitive", "fling")
+        mem.add_value("task_difficulty", "hard")
+        mem.add_value("init_coverage", 0.1)
+        mem.add_rewards_and_termination(0.2, True)
+        mem.dump(path)
+
+        ds = GraspDataset(hdf5_path=path, dihedral_augment=True, seed=5)
+        seen = set()
+        for _ in range(200):
+            o, m, r = ds[0]
+            assert m.sum() == 1
+            (row, col) = np.argwhere(m)[0]
+            # the obs marker must ride the SAME transform as the mask
+            assert o[0, row, col] == 1.0
+            assert o[0].sum() == 1.0
+            assert r == np.float32(0.2)
+            seen.add((int(row), int(col)))
+        # (2,1) under the 8 dihedral transforms of an 8x8 grid
+        expected = {(2, 1), (2, 6), (5, 1), (5, 6),
+                    (1, 2), (1, 5), (6, 2), (6, 5)}
+        assert seen == expected
