@@ -82,6 +82,9 @@ def main():
     p.add_argument("--domain_randomization", action=BooleanOptionalAction,
                    default=True)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--tta", action=BooleanOptionalAction, default=False,
+                   help="dihedral test-time averaging of value maps "
+                        "(value_map_inference_tta)")
     args = p.parse_args()
 
     from flingbot_tpu.env.batch_env import BatchSimEnv
@@ -125,7 +128,7 @@ def main():
         policy = MaximumValuePolicy(
             action_primitives=["fling"],
             num_rotations=args.num_rotations,
-            scale_factors=args.scale_factors, obs_dim=64)
+            scale_factors=args.scale_factors, obs_dim=64, tta=args.tta)
         load_checkpoint(args.load, policy)
 
     target = args.episodes or len(loader)

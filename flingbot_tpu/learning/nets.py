@@ -119,6 +119,28 @@ def value_map_inference(net: SpatialValueNet, params, batch_stats, obs):
     )
 
 
+@functools.partial(jax.jit, static_argnames=("net",))
+def value_map_inference_tta(net: SpatialValueNet, params, batch_stats, obs):
+    """Dihedral test-time averaging: run the net on all 8 D4 transforms of
+    each view and average the inverse-transformed value maps.  Physics is
+    invariant under these transforms (see GraspDataset.dihedral_augment),
+    so the 8 estimates are of the SAME value function — averaging reduces
+    net variance at 8x inference cost (inference is <5% of a rollout)."""
+    acc = jnp.zeros(obs.shape[:1] + obs.shape[-2:], obs.dtype)
+    for k in range(4):
+        for flip in (False, True):
+            o = jnp.rot90(obs, k, axes=(-2, -1))
+            if flip:
+                o = o[..., ::-1]
+            vm = net.apply(
+                {"params": params, "batch_stats": batch_stats}, o,
+                train=False)
+            if flip:
+                vm = vm[..., ::-1]
+            acc = acc + jnp.rot90(vm, -k, axes=(-2, -1))
+    return acc / 8.0
+
+
 class MaximumValuePolicy:
     """One value net per primitive + epsilon-greedy exploration
     (MaximumValuePolicy parity, learning/nets.py:232-299)."""
@@ -140,6 +162,7 @@ class MaximumValuePolicy:
         depth_only: bool = False,
         lr: float = 1e-4,
         weight_decay: float = 1e-6,
+        tta: bool = False,
         seed: int = 0,
         **_unused,
     ):
@@ -165,6 +188,8 @@ class MaximumValuePolicy:
         self.action_expl_decay = float(action_expl_decay)
         self.value_expl_prob = float(value_expl_prob)
         self.value_expl_decay = float(value_expl_decay)
+        # dihedral test-time averaging (value_map_inference_tta)
+        self.tta = bool(tta)
 
         rng = jax.random.PRNGKey(seed)
         self.nets: Dict[str, NetState] = {}
@@ -187,6 +212,10 @@ class MaximumValuePolicy:
     def steps(self) -> int:
         return sum(n.steps for n in self.nets.values())
 
+    def _infer(self, ns: NetState, obs):
+        fn = value_map_inference_tta if self.tta else value_map_inference
+        return fn(ns.net, ns.params, ns.batch_stats, obs)
+
     def value_maps(self, obs_stack) -> Dict[str, jnp.ndarray]:
         """obs_stack (T, 4, D, D) -> {primitive: (T, D, D)} with value/action
         exploration applied (get_action_single parity, nets.py:276-293)."""
@@ -198,8 +227,7 @@ class MaximumValuePolicy:
                     (self.num_transforms, self.obs_dim, self.obs_dim),
                 )
             else:
-                vm = value_map_inference(
-                    ns.net, ns.params, ns.batch_stats, obs_stack)
+                vm = self._infer(ns, obs_stack)
             out[key] = vm
         if np.random.random() < self.action_expl_prob:
             keys = list(out.keys())
@@ -227,8 +255,7 @@ class MaximumValuePolicy:
         for key in self.action_primitives:
             ns = self.nets[key]
             if n <= max_infer_batch:
-                vm = value_map_inference(
-                    ns.net, ns.params, ns.batch_stats, flat)
+                vm = self._infer(ns, flat)
             else:
                 # equal-size slices -> one compiled program per shape
                 k = -(-n // max_infer_batch)
@@ -236,9 +263,7 @@ class MaximumValuePolicy:
                 pad = k * step - n
                 fp = jnp.concatenate([flat, flat[:pad]]) if pad else flat
                 vm = jnp.concatenate([
-                    value_map_inference(
-                        ns.net, ns.params, ns.batch_stats,
-                        fp[s:s + step])
+                    self._infer(ns, fp[s:s + step])
                     for s in range(0, k * step, step)])[:n]
             maps.append(vm.reshape(B, T, self.obs_dim, self.obs_dim))
         out = jnp.stack(maps, axis=1)  # (B, P, T, D, D)

@@ -58,6 +58,9 @@ def config_parser(parser: ArgumentParser = None) -> ArgumentParser:
                         help="full D4 obs+action replay augmentation "
                              "(4 rotations x flip = 8 views; supersedes "
                              "--mirror_augment; see GraspDataset)")
+    parser.add_argument("--tta", action=BooleanOptionalAction, default=False,
+                        help="dihedral test-time averaging of value maps "
+                             "(nets.value_map_inference_tta)")
     parser.add_argument("--domain_randomization",
                         action=BooleanOptionalAction, default=True,
                         help="per-episode randomized floor texture + cloth "

@@ -116,6 +116,38 @@ class TestNets:
         assert set(vms) == {"fling"}
         assert vms["fling"].shape == (8, 64, 64)
 
+    def test_tta_inference_is_dihedral_equivariant(self):
+        """The D4-averaged value map must be exactly equivariant: rotating
+        the input rotates the output — true for ANY net, by symmetrization.
+        Plain inference on a random net is NOT, which is what TTA fixes."""
+        from flingbot_tpu.learning.nets import (
+            value_map_inference, value_map_inference_tta)
+
+        policy = MaximumValuePolicy(
+            action_primitives=["fling"], num_rotations=4,
+            scale_factors=[1.0], obs_dim=32, tta=True)
+        ns = policy.nets["fling"]
+        obs = jax.random.normal(jax.random.PRNGKey(2), (2, 4, 32, 32))
+        obs_r = jnp.rot90(obs, 1, axes=(-2, -1))
+
+        tta = value_map_inference_tta(ns.net, ns.params, ns.batch_stats, obs)
+        tta_r = value_map_inference_tta(
+            ns.net, ns.params, ns.batch_stats, obs_r)
+        np.testing.assert_allclose(
+            np.asarray(jnp.rot90(tta, 1, axes=(-2, -1))), np.asarray(tta_r),
+            atol=1e-5)
+
+        plain = value_map_inference(ns.net, ns.params, ns.batch_stats, obs)
+        plain_r = value_map_inference(
+            ns.net, ns.params, ns.batch_stats, obs_r)
+        assert not np.allclose(
+            np.asarray(jnp.rot90(plain, 1, axes=(-2, -1))),
+            np.asarray(plain_r), atol=1e-5)
+
+        # the policy routes through TTA when enabled
+        vm = policy.value_maps(obs)["fling"]
+        np.testing.assert_allclose(np.asarray(vm), np.asarray(tta), atol=1e-6)
+
     def test_policy_checkpoint_roundtrip(self):
         policy = MaximumValuePolicy(
             action_primitives=["fling"], num_rotations=4,
