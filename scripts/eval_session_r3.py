@@ -1,0 +1,186 @@
+"""One-process eval session: many (task set, policy) evals under a SINGLE
+TPU grant.
+
+Separate eval_quality.py processes need >= 150 s single-client handoff gaps
+between them (STATUS.md round-3 lesson); with 8+ evals that's 20+ minutes
+of dead chip time.  This driver keeps one jax client alive and runs the
+jobs back to back — same programs, same compile cache, no handoffs.
+
+Jobs run in priority order (hard-set policy-vs-heuristic first, then the
+first shirt coverage@3, then easy/large, then learning-curve checkpoints)
+and each result is appended to --out as one JSON line immediately, so a
+mid-session worker fault loses only the running job.
+
+Usage:
+  PYTHONPATH=/root/repo:/root/.axon_site python scripts/eval_session_r3.py \
+    --ckpt runs/round3/ckpt_000648.pth --budget 3000 \
+    --out runs/round3/eval_session.jsonl
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import tempfile
+import time
+import traceback
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/jaxcache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+from eval_quality import heuristic_value_maps  # noqa: E402
+
+# production physics config (STATUS.md round-3 sweep: 2,137 env-steps/s AND
+# better fling QA than the FleX-parity 30/8/16) + the reference's
+# 96-transform action grid (12 rotations x 8 scales) the ckpts trained with
+CFG = dict(backend="pallas", spring_mode="chebyshev", iterations=16,
+           contact_mode="sort", contact_iterations=4, contact_window=12,
+           contact_every=2, substeps=4, exec_mode="chunked", chunk_steps=192)
+ROTATIONS = 12
+SCALES = (1.0, 1.25, 1.5, 1.75, 2.0, 2.25, 2.5, 2.75)
+
+_policies: dict = {}
+
+
+def get_policy(load: str):
+    if load not in _policies:
+        from flingbot_tpu.learning.nets import MaximumValuePolicy
+        from flingbot_tpu.utils.checkpoint import load_checkpoint
+
+        policy = MaximumValuePolicy(
+            action_primitives=["fling"], num_rotations=ROTATIONS,
+            scale_factors=list(SCALES), obs_dim=64)
+        load_checkpoint(load, policy)
+        _policies[load] = policy
+    return _policies[load]
+
+
+def run_eval(name: str, tasks: str, policy: str, load: str | None,
+             episodes: int, num_envs: int = 16, max_grid_dim: int = 104,
+             steps: int = 3, seed: int = 0) -> dict:
+    from flingbot_tpu.env.batch_env import BatchSimEnv
+    from flingbot_tpu.env.tasks import TaskLoader, detect_mesh_caps
+    from flingbot_tpu.utils.stats import collect_stats
+
+    replay = tempfile.mktemp(suffix=".hdf5")
+    loader = TaskLoader(tasks, repeat=True)
+    env = BatchSimEnv(
+        get_task_fn=loader.get_next_task, replay_buffer_path=replay,
+        num_envs=num_envs, obs_dim=64, num_rotations=ROTATIONS,
+        scale_factors=list(SCALES), action_primitives=["fling"],
+        episode_length=steps, render_dim=256, max_grid_dim=max_grid_dim,
+        mesh_caps=detect_mesh_caps(tasks), domain_randomization=True,
+        seed=seed, **CFG)
+    net = get_policy(load) if policy == "ckpt" else None
+
+    t0 = time.time()
+    obs = env.reset()
+    while env.episodes_done < episodes:
+        if policy == "heuristic":
+            vm = heuristic_value_maps(np.asarray(obs))
+        else:
+            vm = np.asarray(net.batch_value_maps(obs))
+        obs = env.step(vm)
+        print(f"[{name}] episodes {env.episodes_done}/{episodes} "
+              f"({time.time() - t0:.0f}s)", flush=True)
+
+    stats = collect_stats(replay, num_points=10 ** 9) or {}
+    out = {"job": name, "tasks": os.path.basename(tasks), "policy": policy,
+           "load": load, "episodes": env.episodes_done,
+           "seconds": round(time.time() - t0, 1)}
+    for k, v in sorted(stats.items()):
+        if any(k.startswith(p) and k.endswith(s)
+               for p in ("final_coverage/", "init_coverage/",
+                         "episode_delta_coverage/", "best_coverage/")
+               for s in ("/mean", "/max")) or k.endswith("percent_positive"):
+            out[k] = round(float(v), 4)
+    try:
+        os.unlink(replay)
+    except OSError:
+        pass
+    return out
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--ckpt", default="runs/round3/ckpt_000648.pth")
+    p.add_argument("--out", default="runs/round3/eval_session.jsonl")
+    p.add_argument("--budget", type=float, default=3000.0,
+                   help="stop starting new jobs after this many seconds")
+    p.add_argument("--skip", type=int, default=0,
+                   help="skip the first N jobs (resume after a fault)")
+    args = p.parse_args()
+
+    hard = "data_r3/rect_eval_hard_100.hdf5"
+    easy = "data_r3/rect_eval_easy_64.hdf5"
+    large = "data_r3/rect_eval_large_64.hdf5"
+    shirt = "data_r3/shirt_eval_16.hdf5"
+    ck = args.ckpt
+    run = os.path.dirname(ck)
+
+    jobs = [
+        # the held-out policy-vs-heuristic comparison (VERDICT item 3)
+        dict(name="hard/heuristic", tasks=hard, policy="heuristic",
+             load=None, episodes=32),
+        dict(name="hard/ckpt648", tasks=hard, policy="ckpt", load=ck,
+             episodes=32),
+        # first-ever shirt coverage@3 (VERDICT item 4)
+        dict(name="shirt/heuristic", tasks=shirt, policy="heuristic",
+             load=None, episodes=16),
+        dict(name="shirt/ckpt648", tasks=shirt, policy="ckpt", load=ck,
+             episodes=16),
+        # remaining sets
+        dict(name="easy/heuristic", tasks=easy, policy="heuristic",
+             load=None, episodes=16),
+        dict(name="easy/ckpt648", tasks=easy, policy="ckpt", load=ck,
+             episodes=16),
+        dict(name="large/heuristic", tasks=large, policy="heuristic",
+             load=None, episodes=16, max_grid_dim=128),
+        dict(name="large/ckpt648", tasks=large, policy="ckpt", load=ck,
+             episodes=16, max_grid_dim=128),
+        # learning-curve points on the hard set (same program: free compiles)
+        dict(name="hard/ckpt026", tasks=hard, policy="ckpt",
+             load=os.path.join(run, "ckpt_000026.pth"), episodes=32),
+        dict(name="hard/ckpt198", tasks=hard, policy="ckpt",
+             load=os.path.join(run, "ckpt_000198.pth"), episodes=32),
+        dict(name="hard/ckpt348", tasks=hard, policy="ckpt",
+             load=os.path.join(run, "ckpt_000348.pth"), episodes=32),
+        dict(name="hard/ckpt498", tasks=hard, policy="ckpt",
+             load=os.path.join(run, "ckpt_000498.pth"), episodes=32),
+    ]
+
+    t0 = time.time()
+    for i, job in enumerate(jobs):
+        if i < args.skip:
+            continue
+        if time.time() - t0 > args.budget:
+            print(f"[session] budget exhausted before {job['name']}",
+                  flush=True)
+            break
+        print(f"=== job {i}: {job['name']} ({time.time() - t0:.0f}s in)",
+              flush=True)
+        try:
+            res = run_eval(**job)
+        except Exception:
+            # a fault here usually means the worker wedged — STOP rather
+            # than hammer the chip (resume later with --skip i)
+            traceback.print_exc()
+            print(f"[session] job {i} ({job['name']}) FAILED — stopping",
+                  flush=True)
+            break
+        with open(args.out, "a") as f:
+            f.write(json.dumps(res) + "\n")
+        print(json.dumps(res), flush=True)
+    print(f"[session] done ({time.time() - t0:.0f}s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
