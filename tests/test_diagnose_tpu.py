@@ -23,7 +23,18 @@ def test_relay_alive_detects_listener_and_absence():
     t.start()
     assert diag.relay_alive(port=port, timeout=2.0)
     srv.close()
-    assert not diag.relay_alive(port=port, timeout=1.0)
+    # "dead relay" check: a bound-but-not-listening port refuses connects
+    # deterministically.  (Re-probing the just-freed port is flaky: the
+    # kernel can pick it as the SOURCE port for the probe itself, and a
+    # localhost simultaneous-open self-connects — seen once in the full
+    # suite with background TPU clients making connections.)
+    blocker = socket.socket()
+    blocker.bind(("127.0.0.1", 0))
+    try:
+        assert not diag.relay_alive(port=blocker.getsockname()[1],
+                                    timeout=1.0)
+    finally:
+        blocker.close()
 
 
 def test_cache_age(tmp_path):
