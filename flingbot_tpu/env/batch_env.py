@@ -41,6 +41,14 @@ from flingbot_tpu.env.coverage import get_current_covered_area
 from flingbot_tpu.engine.solver import step as solver_step
 from flingbot_tpu.learning.memory import Memory
 
+import warnings
+
+# Largest chunked-exec device call (in sim steps) allowed on MESH (shirt)
+# topologies.  See the clamp in BatchSimEnv.__init__: mesh steps are much
+# slower than grid steps and a rect-tuned chunk length can exceed the TPU
+# worker's per-call wall-time limit (~50-80 s -> kernel fault, CLAUDE.md).
+MESH_CHUNK_STEPS_CAP = 32
+
 
 def _tree_stack(items):
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *items)
@@ -149,6 +157,20 @@ class BatchSimEnv:
         assert exec_mode in ("chunked", "fused")
         self.exec_mode = exec_mode
         self.chunk_steps = int(chunk_steps)
+        if mesh_caps is not None and exec_mode == "chunked" \
+                and self.chunk_steps > MESH_CHUNK_STEPS_CAP:
+            # Mesh (shirt) sim steps are far slower per step than the
+            # grid stencil path, so a chunk length tuned for rect cloths
+            # can push one device call past the ~50-80 s wall-time limit
+            # that kernel-faults the TPU worker (measured 2026-08-18:
+            # 192-step mesh chunks at batch 16 crashed the worker; grid
+            # 192-step chunks at batch 128 are ~11 s).  Clamp with margin
+            # until the mesh per-step cost is measured on TPU
+            # (scripts/probe_mesh_tpu.py).
+            warnings.warn(
+                f"mesh topology: clamping chunk_steps {self.chunk_steps} "
+                f"-> {MESH_CHUNK_STEPS_CAP} (TPU per-call wall-time limit)")
+            self.chunk_steps = MESH_CHUNK_STEPS_CAP
         if env_chunk is None:
             env_chunk = num_envs if exec_mode == "chunked" else 32
         self.env_chunk = min(env_chunk, num_envs) if env_chunk else num_envs

@@ -46,3 +46,30 @@ class TestBatchMeshEnv:
             for k in f:
                 # shirt stat family tag (not mixed into rect 'hard')
                 assert f[k].attrs["task_difficulty"] == "shirt"
+
+    def test_mesh_chunk_steps_clamped(self, mesh_task_file, tmp_path):
+        # rect-tuned chunk lengths kernel-fault the TPU worker on the much
+        # slower mesh path (measured 2026-08-18: 192-step mesh chunks at
+        # batch 16); the env must clamp them
+        from flingbot_tpu.env.batch_env import MESH_CHUNK_STEPS_CAP
+
+        loader = TaskLoader(mesh_task_file)
+        with pytest.warns(UserWarning, match="clamping chunk_steps"):
+            env = BatchSimEnv(
+                get_task_fn=loader.get_next_task,
+                num_envs=1,
+                replay_buffer_path=str(tmp_path / "r.hdf5"),
+                mesh_caps=MESH_CAPS,
+                exec_mode="chunked",
+                chunk_steps=192,
+            )
+        assert env.chunk_steps == MESH_CHUNK_STEPS_CAP
+        # grid envs keep their chunk length (no mesh_caps -> no clamp)
+        env2 = BatchSimEnv(
+            get_task_fn=loader.get_next_task,
+            num_envs=1,
+            replay_buffer_path=str(tmp_path / "r2.hdf5"),
+            exec_mode="chunked",
+            chunk_steps=192,
+        )
+        assert env2.chunk_steps == 192
