@@ -117,6 +117,9 @@ def main():
                    help="stop starting new jobs after this many seconds")
     p.add_argument("--skip", type=int, default=0,
                    help="skip the first N jobs (resume after a fault)")
+    p.add_argument("--only", default=None,
+                   help="comma-separated job-name substrings; run (in the "
+                        "given order) only jobs matching one of them")
     args = p.parse_args()
 
     hard = "data_r3/rect_eval_hard_100.hdf5"
@@ -156,6 +159,11 @@ def main():
         dict(name="hard/ckpt498", tasks=hard, policy="ckpt",
              load=os.path.join(run, "ckpt_000498.pth"), episodes=32),
     ]
+
+    if args.only:
+        pats = [s.strip() for s in args.only.split(",") if s.strip()]
+        # ordered by the --only list, not the default priority order
+        jobs = [j for pat in pats for j in jobs if pat in j["name"]]
 
     t0 = time.time()
     for i, job in enumerate(jobs):
