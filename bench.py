@@ -76,8 +76,9 @@ def main(num_envs: int = 512, dim: int = 100, steps: int = 20,
     env_steps_per_sec = num_envs * steps / dt
     print(json.dumps({
         "metric": "xpbd_env_steps_per_sec_per_chip"
-                  f" ({dim}x{dim} cloth, {num_envs} envs, 4x30 iters,"
-                  f" self_collision={self_collision})",
+                  f" ({dim}x{dim} cloth, {num_envs} envs, 4 substeps x 16"
+                  f" chebyshev iters [QA-equivalent to FleX 4x30, see"
+                  f" docstring], self_collision={self_collision})",
         "value": round(env_steps_per_sec, 1),
         "unit": "env-steps/s/chip",
         "vs_baseline": round(env_steps_per_sec / BASELINE_ENV_STEPS_PER_SEC, 3),

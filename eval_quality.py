@@ -65,19 +65,20 @@ def main():
     p.add_argument("--max_grid_dim", type=int, default=104)
     p.add_argument("--episodes", type=int, default=None,
                    help="total episodes (default: one pass over the tasks)")
-    p.add_argument("--backend", default="xla")
-    p.add_argument("--spring_mode", default="gs",
+    # defaults = the QA'd production solver config (see utils/config.py)
+    p.add_argument("--backend", default="pallas")
+    p.add_argument("--spring_mode", default="chebyshev",
                    choices=["gs", "jacobi", "chebyshev"])
-    p.add_argument("--contact_mode", default="block",
+    p.add_argument("--contact_mode", default="sort",
                    choices=["block", "sweep", "sort", "table"])
     p.add_argument("--substeps", type=int, default=4)
-    p.add_argument("--iterations", type=int, default=30)
+    p.add_argument("--iterations", type=int, default=16)
     p.add_argument("--contact_every", type=int, default=2)
-    p.add_argument("--contact_iterations", type=int, default=8)
-    p.add_argument("--contact_window", type=int, default=16)
+    p.add_argument("--contact_iterations", type=int, default=4)
+    p.add_argument("--contact_window", type=int, default=12)
     p.add_argument("--exec_mode", choices=["chunked", "fused"],
                    default="chunked")
-    p.add_argument("--chunk_steps", type=int, default=64)
+    p.add_argument("--chunk_steps", type=int, default=192)
     from argparse import BooleanOptionalAction
     p.add_argument("--domain_randomization", action=BooleanOptionalAction,
                    default=True)

@@ -56,6 +56,12 @@ class SolverParams(struct.PyTreeNode):
     particle_friction: jnp.ndarray = struct.field(
         default_factory=lambda: jnp.float32(1.0)
     )
+    # Coulomb friction of the picker SPHERE shapes (XLA-path experimental
+    # knob; production = 0 — A/B-measured immaterial because grasped
+    # particles are anchored, see solver.solve_picker_spheres)
+    picker_friction: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.float32(0.0)
+    )
     # interaction radius for particle-particle collision
     # (NvFlex.h:100; scene: particle_radius * 1.8)
     radius: jnp.ndarray = struct.field(

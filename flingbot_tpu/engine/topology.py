@@ -59,7 +59,16 @@ class GridTopology(struct.PyTreeNode):
 
 
 class MeshTopology(struct.PyTreeNode):
-    """Arbitrary-mesh cloth topology with padded per-class edge arrays."""
+    """Arbitrary-mesh cloth topology with padded per-class edge arrays.
+
+    Besides the flat edge list, carries VERTEX-CENTRIC incidence tables
+    (nbr_*, shape (D, N) with the particle axis innermost/lane-aligned):
+    for every vertex, its <= D incident spring neighbors with per-slot rest
+    length and stiffness.  The spring solve gathers through these tables
+    instead of scatter-adding over the edge list — TPU scatter is the
+    measured mesh-path bottleneck (250 ms/env-step on v5e at the old
+    edge-scatter formulation, 2026-08-19 probe), while gathers cost
+    ~ns/element (CLAUDE.md perf facts)."""
 
     edges: jnp.ndarray  # (E, 2) i32, padded (pad rows point at capacity slot)
     rest: jnp.ndarray  # (E,) f32 rest lengths
@@ -69,6 +78,10 @@ class MeshTopology(struct.PyTreeNode):
     triangles: jnp.ndarray  # (T, 3) i32, padded
     tri_mask: jnp.ndarray  # (T,) bool
     rest_positions: jnp.ndarray  # (N, 3) f32 rest pose (self-collide filter)
+    nbr_idx: jnp.ndarray  # (D, N) i32 incident-spring neighbor vertex ids
+    nbr_rest: jnp.ndarray  # (D, N) f32 per-slot rest length
+    nbr_stiff: jnp.ndarray  # (D, N) f32 per-slot stiffness (0 on pad slots)
+    nbr_mask: jnp.ndarray  # (D, N) bool slot validity
 
 
 def grid_positions(
@@ -214,6 +227,7 @@ def build_mesh_topology(
     capacity: "int | None" = None,
     edge_capacity: "int | None" = None,
     tri_capacity: "int | None" = None,
+    degree_capacity: "int | None" = None,
 ) -> MeshTopology:
     """Build a padded MeshTopology. Rest lengths come from the rest pose
     (reference: helpers.h:144-150 CreateSpring measures current positions)."""
@@ -260,6 +274,32 @@ def build_mesh_topology(
         [rest_positions, np.full((cap - n, 3), 1e6, np.float32)]
     )
 
+    # vertex-centric incidence tables (gather-only spring solve; see the
+    # MeshTopology docstring).  Built on host in numpy: each real edge is
+    # bucketed under BOTH endpoints; slot = rank within the vertex's group.
+    # degree_capacity must be STATIC across a task set (vmapped topologies
+    # stack) — callers pass it; default covers the measured shirt sets
+    # (max degree 18 over data_r3/shirt_eval_16).
+    deg_cap = degree_capacity or max(int(degree.max()) if ne else 1, 1)
+    assert not ne or int(degree.max()) <= deg_cap, (
+        f"mesh degree {int(degree.max())} exceeds degree_capacity {deg_cap}")
+    nbr_idx = np.zeros((deg_cap, cap), np.int32)
+    nbr_rest = np.ones((deg_cap, cap), np.float32)
+    nbr_stiff = np.zeros((deg_cap, cap), np.float32)
+    nbr_mask = np.zeros((deg_cap, cap), bool)
+    if ne:
+        ends = np.concatenate([edges, edges[:, ::-1]])  # (2E, [v, other])
+        rr = np.concatenate([rest, rest])
+        ss = np.concatenate([stiff, stiff])
+        order = np.argsort(ends[:, 0], kind="stable")
+        v_sorted = ends[order, 0]
+        slot = np.arange(len(v_sorted)) - np.searchsorted(
+            v_sorted, v_sorted)  # rank within each vertex group
+        nbr_idx[slot, v_sorted] = ends[order, 1]
+        nbr_rest[slot, v_sorted] = rr[order]
+        nbr_stiff[slot, v_sorted] = ss[order]
+        nbr_mask[slot, v_sorted] = True
+
     return MeshTopology(
         edges=jnp.asarray(edges_p, jnp.int32),
         rest=jnp.asarray(rest_p),
@@ -269,6 +309,10 @@ def build_mesh_topology(
         triangles=jnp.asarray(faces_p, jnp.int32),
         tri_mask=jnp.asarray(tmask),
         rest_positions=jnp.asarray(rest_pad),
+        nbr_idx=jnp.asarray(nbr_idx),
+        nbr_rest=jnp.asarray(nbr_rest),
+        nbr_stiff=jnp.asarray(nbr_stiff),
+        nbr_mask=jnp.asarray(nbr_mask),
     )
 
 

@@ -27,10 +27,16 @@ from flingbot_tpu.engine.topology import (
 DEFAULT_CAPACITY = MAX_GRID_DIM * MAX_GRID_DIM
 
 # padded capacities for mesh (shirt) cloths — one static bucket so all mesh
-# tasks share a compiled program
+# tasks share a compiled program.  These are the FALLBACK ceilings;
+# detect_mesh_caps sizes the bucket to the task file's measured maxima
+# (the procedural shirt sets run ~3.2k verts / 19k edges / 6.2k tris —
+# padding to the old 8k/64k/16k ceilings wasted 2-3.5x solver work).
 MESH_VERT_CAPACITY = 8192
 MESH_EDGE_CAPACITY = 65536
 MESH_TRI_CAPACITY = 16384
+# static incidence-table width (vertex-centric spring solve); measured max
+# degree over the shirt sets is 18 (stretch+shear+bend + sewing seams)
+MESH_DEGREE_CAPACITY = 24
 
 
 @dataclasses.dataclass
@@ -80,6 +86,7 @@ def make_scene(
             capacity=vcap,
             edge_capacity=ecap,
             tri_capacity=tcap,
+            degree_capacity=MESH_DEGREE_CAPACITY,
         )
         inv_mass = np.full(n, n / cloth_mass, np.float32)
         pos = verts.copy()

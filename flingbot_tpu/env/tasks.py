@@ -190,17 +190,37 @@ def detect_mesh_caps(hdf5_path: str):
     """None for grid task files; the static (verts, edges, tris) padding
     bucket for mesh (shirt) files — so BatchSimEnv callers can stay
     agnostic of the set's cloth type (reference keeps rect and shirt sets
-    in separate files, README.md:136-141)."""
+    in separate files, README.md:136-141).
+
+    The bucket is sized to the FILE's measured maxima (rounded up to keep
+    the lane dim friendly), capped at the global MESH_*_CAPACITY ceilings:
+    padding every shirt to the 8k/64k/16k ceilings cost 2-3.5x solver work
+    on sets that top out at ~3.2k verts (v5e mesh probe, 2026-08-19)."""
     from flingbot_tpu.env import scene as _scene
 
+    def _roundup(v, m):
+        return int((v + m - 1) // m * m)
+
+    max_v = max_e = max_t = 0
     with h5py.File(hdf5_path, "r") as f:
         for k in f:
             g = f[k]
-            if "mesh_verts" in g and np.asarray(g["mesh_verts"]).size > 0:
-                return (_scene.MESH_VERT_CAPACITY, _scene.MESH_EDGE_CAPACITY,
-                        _scene.MESH_TRI_CAPACITY)
-            return None
-    return None
+            if "mesh_verts" not in g:
+                return None
+            nv = np.asarray(g["mesh_verts"]).size // 3
+            if nv == 0:
+                return None
+            ne = sum(np.asarray(g[n]).size // 2
+                     for n in ("mesh_stretch_edges", "mesh_bend_edges",
+                               "mesh_shear_edges"))
+            nt = np.asarray(g["mesh_faces"]).size // 3
+            max_v, max_e, max_t = (max(max_v, nv), max(max_e, ne),
+                                   max(max_t, nt))
+    if max_v == 0:
+        return None
+    return (min(_roundup(max_v, 256), _scene.MESH_VERT_CAPACITY),
+            min(_roundup(max_e, 1024), _scene.MESH_EDGE_CAPACITY),
+            min(_roundup(max_t, 256), _scene.MESH_TRI_CAPACITY))
 
 
 def write_task(path: str, task_dict: Dict) -> str:

@@ -90,16 +90,35 @@ def config_parser(parser: ArgumentParser = None) -> ArgumentParser:
                         default=[1.0, 1.25, 1.5, 1.75, 2.0, 2.25, 2.5, 2.75])
     parser.add_argument("--render_dim", type=int, default=400)
     parser.add_argument("--episode_length", type=int, default=10)
-    # TPU-native physics/runtime knobs
+    # TPU-native physics/runtime knobs.  Defaults are the QA'd PRODUCTION
+    # config (round-3 sweep, scripts/perf_sweep_r3.py: 2,137 env-steps/s/chip
+    # at 512 envs AND better fling QA than the FleX-parity 4x30 — 0.539 vs
+    # 0.511 heuristic best-coverage@3, lower hang-stretch).  Every number
+    # measured in rounds 2-4 (bench, eval sessions, training) ran this
+    # config; `--flex_parity` restores the reference's solver operating
+    # point (softgym_cloth.h:154-155) for physics-parity comparisons.
     parser.add_argument("--spring_mode",
-                        choices=["gs", "jacobi", "chebyshev"], default="gs")
+                        choices=["gs", "jacobi", "chebyshev"],
+                        default="chebyshev")
     parser.add_argument("--backend", choices=["xla", "pallas"],
-                        default="xla")
+                        default="pallas")
     parser.add_argument("--substeps", type=int, default=4)
-    parser.add_argument("--iterations", type=int, default=30)
-    parser.add_argument("--contact_every", type=int, default=1)
-    parser.add_argument("--contact_iterations", type=int, default=8)
-    parser.add_argument("--contact_window", type=int, default=16)
+    parser.add_argument("--iterations", type=int, default=16)
+    parser.add_argument("--contact_mode",
+                        choices=["sort", "sweep", "block", "table"],
+                        default="sort",
+                        help="self-collision strategy on the XLA backend "
+                             "(the pallas backend always uses the sorted-"
+                             "window kernel)")
+    parser.add_argument("--contact_every", type=int, default=2)
+    parser.add_argument("--contact_iterations", type=int, default=4)
+    parser.add_argument("--contact_window", type=int, default=12)
+    parser.add_argument("--flex_parity", action="store_true", default=False,
+                        help="preset: the reference FleX solver operating "
+                             "point (gs springs, 4 substeps x 30 iterations, "
+                             "contacts 8/16/every substep — "
+                             "softgym_cloth.h:154-155); overrides the "
+                             "production solver knobs")
     parser.add_argument("--no_self_collision", action="store_true",
                         default=False)
     parser.add_argument("--max_grid_dim", type=int, default=104)
@@ -111,11 +130,27 @@ def config_parser(parser: ArgumentParser = None) -> ArgumentParser:
                         help="chunked: host-driven bounded device calls "
                              "(safe at any batch size); fused: one "
                              "while_loop program per env step")
-    parser.add_argument("--chunk_steps", type=int, default=64,
-                        help="max sim steps per device call in chunked mode")
+    parser.add_argument("--chunk_steps", type=int, default=192,
+                        help="max sim steps per device call in chunked mode "
+                             "(192 at 128 envs ~= 11 s/call on v5e — inside "
+                             "the TPU per-call wall-time limit; BatchSimEnv "
+                             "clamps mesh topologies harder)")
     parser.add_argument("--dp_devices", type=int, default=None,
                         help="devices on the dp mesh axis (default: all)")
     return parser
+
+
+def apply_presets(args):
+    """Post-parse preset expansion (call right after parse_args)."""
+    if getattr(args, "flex_parity", False):
+        args.spring_mode = "gs"
+        args.iterations = 30
+        args.contact_every = 1
+        args.contact_iterations = 8
+        args.contact_window = 16
+    if getattr(args, "num_processes", None):
+        args.num_envs = args.num_processes
+    return args
 
 
 def seed_all(seed: int):

@@ -43,7 +43,7 @@ from flingbot_tpu.utils.checkpoint import (
     save_checkpoint,
     setup_eval_dir,
 )
-from flingbot_tpu.utils.config import config_parser, seed_all
+from flingbot_tpu.utils.config import apply_presets, config_parser, seed_all
 from flingbot_tpu.utils.stats import collect_stats, get_dataset_size
 
 
@@ -93,9 +93,7 @@ def setup(args):
 
 
 def main():
-    args = config_parser().parse_args()
-    if args.num_processes:
-        args.num_envs = args.num_processes
+    args = apply_presets(config_parser().parse_args())
     seed_all(args.seed)
     os.makedirs(args.log, exist_ok=True)
     policy, dataset_path = setup(args)

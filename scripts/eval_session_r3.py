@@ -94,7 +94,7 @@ def run_eval(name: str, tasks: str, policy: str, load: str | None,
 
     stats = collect_stats(replay, num_points=10 ** 9) or {}
     out = {"job": name, "tasks": os.path.basename(tasks), "policy": policy,
-           "load": load, "episodes": env.episodes_done,
+           "load": load, "episodes": env.episodes_done, "seed": seed,
            "seconds": round(time.time() - t0, 1)}
     for k, v in sorted(stats.items()):
         if any(k.startswith(p) and k.endswith(s)
@@ -102,6 +102,11 @@ def run_eval(name: str, tasks: str, policy: str, load: str | None,
                          "episode_delta_coverage/", "best_coverage/")
                for s in ("/mean", "/max")) or k.endswith("percent_positive"):
             out[k] = round(float(v), 4)
+        # raw per-episode values so eval_table can compute bootstrap CIs
+        elif any(k.startswith(p) for p in
+                 ("init_coverage/", "episode_delta_coverage/",
+                  "best_coverage/")) and k.endswith("/distribution"):
+            out[k] = [round(float(x), 4) for x in np.asarray(v).ravel()]
     try:
         os.unlink(replay)
     except OSError:
@@ -120,6 +125,9 @@ def main():
     p.add_argument("--only", default=None,
                    help="comma-separated job-name substrings; run (in the "
                         "given order) only jobs matching one of them")
+    p.add_argument("--curve", default=None,
+                   help="comma-separated extra ckpt paths to add as "
+                        "hard-set learning-curve jobs")
     args = p.parse_args()
 
     hard = "data_r3/rect_eval_hard_100.hdf5"
@@ -129,41 +137,64 @@ def main():
     ck = args.ckpt
     run = os.path.dirname(ck)
 
+    # FULL sets with matched episode counts per policy (VERDICT r3 item 3:
+    # "full task sets, identical episode counts, seeds recorded").
+    # num_envs divides the episode count exactly, so every task is
+    # evaluated exactly once per job (the repeat loader assigns tasks
+    # sequentially; a non-divisor width would re-run the first tasks).
     jobs = [
-        # the held-out policy-vs-heuristic comparison (VERDICT item 3)
+        # the held-out policy-vs-heuristic comparison
         dict(name="hard/heuristic", tasks=hard, policy="heuristic",
-             load=None, episodes=32),
-        dict(name="hard/ckpt648", tasks=hard, policy="ckpt", load=ck,
-             episodes=32),
-        # first-ever shirt coverage@3 (VERDICT item 4)
+             load=None, episodes=100, num_envs=20),
+        dict(name="hard/ckpt", tasks=hard, policy="ckpt", load=ck,
+             episodes=100, num_envs=20),
+        # shirt coverage@3
         dict(name="shirt/heuristic", tasks=shirt, policy="heuristic",
              load=None, episodes=16),
-        dict(name="shirt/ckpt648", tasks=shirt, policy="ckpt", load=ck,
+        dict(name="shirt/ckpt", tasks=shirt, policy="ckpt", load=ck,
              episodes=16),
         # remaining sets
         dict(name="easy/heuristic", tasks=easy, policy="heuristic",
-             load=None, episodes=16),
-        dict(name="easy/ckpt648", tasks=easy, policy="ckpt", load=ck,
-             episodes=16),
+             load=None, episodes=64),
+        dict(name="easy/ckpt", tasks=easy, policy="ckpt", load=ck,
+             episodes=64),
         dict(name="large/heuristic", tasks=large, policy="heuristic",
-             load=None, episodes=16, max_grid_dim=128),
-        dict(name="large/ckpt648", tasks=large, policy="ckpt", load=ck,
-             episodes=16, max_grid_dim=128),
-        # learning-curve points on the hard set (same program: free compiles)
+             load=None, episodes=64, max_grid_dim=128),
+        dict(name="large/ckpt", tasks=large, policy="ckpt", load=ck,
+             episodes=64, max_grid_dim=128),
+        # learning-curve points on the hard set (same program: free
+        # compiles).  ckpt026 ~= untrained; 648 = round-3 final; round-4
+        # ckpts land in runs/round4 and are added via --curve globs.
         dict(name="hard/ckpt026", tasks=hard, policy="ckpt",
-             load=os.path.join(run, "ckpt_000026.pth"), episodes=32),
-        dict(name="hard/ckpt198", tasks=hard, policy="ckpt",
-             load=os.path.join(run, "ckpt_000198.pth"), episodes=32),
-        dict(name="hard/ckpt348", tasks=hard, policy="ckpt",
-             load=os.path.join(run, "ckpt_000348.pth"), episodes=32),
-        dict(name="hard/ckpt498", tasks=hard, policy="ckpt",
-             load=os.path.join(run, "ckpt_000498.pth"), episodes=32),
+             load="runs/round3/ckpt_000026.pth", episodes=100, num_envs=20),
+        dict(name="hard/ckpt648", tasks=hard, policy="ckpt",
+             load="runs/round3/ckpt_000648.pth", episodes=100, num_envs=20),
     ]
+    for extra in (args.curve.split(",") if args.curve else []):
+        extra = extra.strip()
+        if not extra:
+            continue
+        step_tag = os.path.basename(extra).split("ckpt_")[-1].split(".")[0]
+        jobs.append(dict(
+            name=f"hard/ckpt{int(step_tag)}", tasks=hard, policy="ckpt",
+            load=extra, episodes=100, num_envs=20))
 
     if args.only:
         pats = [s.strip() for s in args.only.split(",") if s.strip()]
-        # ordered by the --only list, not the default priority order
-        jobs = [j for pat in pats for j in jobs if pat in j["name"]]
+        # ordered by the --only list, not the default priority order;
+        # dedupe overlapping patterns and fail loudly on a typo'd pattern
+        # (ADVICE round 3: duplicates burned TPU budget, no-match was silent)
+        picked, seen = [], set()
+        for pat in pats:
+            matched = [j for j in jobs if pat in j["name"]]
+            if not matched:
+                raise SystemExit(
+                    f"--only pattern {pat!r} matched no job name")
+            for j in matched:
+                if j["name"] not in seen:
+                    seen.add(j["name"])
+                    picked.append(j)
+        jobs = picked
 
     t0 = time.time()
     for i, job in enumerate(jobs):

@@ -43,6 +43,9 @@ def main():
     p.add_argument("--tasks", default="data_r3/shirt_eval_16.hdf5")
     p.add_argument("--backend", default="pallas")
     p.add_argument("--limit_s", type=float, default=25.0)
+    p.add_argument("--trace_only", action="store_true",
+                   help="jax.eval_shape the probe program (CPU smoke test; "
+                        "no execution)")
     args = p.parse_args()
 
     from flingbot_tpu.engine.state import SolverParams
@@ -63,8 +66,10 @@ def main():
                   backend=args.backend, substeps=4, iterations=16)
 
     def steps_fn(state, topo, k):
+        step1 = jax.vmap(lambda s, t: solver_step(s, t, params, **sim_kw))
+
         def body(s, _):
-            return solver_step(s, topo, params, **sim_kw), None
+            return step1(s, topo), None
 
         return jax.lax.scan(body, state, None, length=k)[0]
 
@@ -73,6 +78,12 @@ def main():
             lambda x: jnp.stack([x] * batch), scene.state)
         topo = jax.tree_util.tree_map(
             lambda x: jnp.stack([x] * batch), scene.topo)
+        if args.trace_only:
+            out = jax.eval_shape(lambda s, t: steps_fn(s, t, 1), state, topo)
+            print(json.dumps({"batch": batch, "trace_only": True,
+                              "out_positions": list(out.positions.shape)}),
+                  flush=True)
+            continue
         per_step_ms = None
         for k in (1, 4, 16):
             if per_step_ms is not None \

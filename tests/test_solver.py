@@ -342,3 +342,48 @@ def test_chebyshev_rho_is_a_live_runtime_knob():
         outs[rho] = np.asarray(s.positions)
     assert fn._cache_size() == 1  # one trace for both rho values
     assert np.abs(outs[0.5] - outs[0.992]).max() > 1e-5
+
+
+class TestPickerFriction:
+    """Picker-sphere Coulomb friction (VERDICT r3 item 9).
+
+    FleX gives the picker sphere SHAPES dynamicFriction=0.75
+    (softgym_cloth.h:164); production here runs push-out only
+    (SolverParams.picker_friction = 0, the documented deviation in
+    solve_picker_spheres — A/B numbers in its docstring)."""
+
+    def _setup(self):
+        from flingbot_tpu.engine.solver import solve_picker_spheres
+
+        # particle 0 penetrates the sphere at (0,0,0) ABOVE center (contact
+        # normal +y) and slid in +x this substep — a purely TANGENTIAL
+        # slip; particle 1 is far away, also sliding
+        P = jnp.asarray([[0.010, 0.5], [0.010, 0.0], [0.0, 0.0]])  # (3, 2)
+        prev = jnp.asarray([[0.000, 0.49], [0.010, 0.0], [0.0, 0.0]])
+        pickers = jnp.zeros((2, 3), jnp.float32)  # both spheres at origin
+        moving = jnp.asarray([True, True])
+        return solve_picker_spheres, P, prev, pickers, moving
+
+    def test_mu_zero_matches_push_only(self):
+        solve, P, prev, pickers, moving = self._setup()
+        params = SolverParams()  # picker_friction defaults to 0
+        out_no_prev = solve(P, pickers, 0.02, params, moving)
+        out_prev = solve(P, pickers, 0.02, params, moving, prev=prev)
+        np.testing.assert_array_equal(
+            np.asarray(out_no_prev), np.asarray(out_prev))
+
+    def test_friction_removes_tangential_slip(self):
+        solve, P, prev, pickers, moving = self._setup()
+        base = solve(P, pickers, 0.02, SolverParams(), moving, prev=prev)
+        rubbed = solve(
+            P, pickers, 0.02,
+            SolverParams(picker_friction=jnp.float32(0.75)), moving,
+            prev=prev)
+        base, rubbed = np.asarray(base), np.asarray(rubbed)
+        # contacted particle: tangential (x) progress reduced, not reversed
+        assert rubbed[0, 0] < base[0, 0]
+        assert rubbed[0, 0] > prev[0, 0]
+        # normal push-out identical (friction is tangential-only)
+        # direction of push is radial from the sphere center; particle 0
+        # moves along +x so its push is +x — compare the far particle
+        np.testing.assert_allclose(rubbed[:, 1], base[:, 1])

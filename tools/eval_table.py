@@ -1,18 +1,28 @@
 """Render runs/*/eval_session.jsonl into the STATUS.md markdown tables.
 
-Two tables:
-  * held-out set table — one row per (set, policy) with init coverage,
-    best-coverage@3 mean (the reference's headline "coverage within 3
-    actions", README.md:21), and episode delta coverage;
+Three outputs:
+  * held-out set table — one row per (set, policy) with n, init coverage,
+    best-coverage@3 mean with a 95% bootstrap CI (the reference's headline
+    "coverage within 3 actions", README.md:21), and episode delta coverage;
+  * policy-vs-heuristic comparison per set — bootstrap CI on the mean
+    difference plus a pass/fail line against the reference's 0.80 target;
   * learning curve — best-coverage@3 on the hard set per checkpoint.
 
-Usage:  python tools/eval_table.py [runs/round3/eval_session.jsonl]
+CIs come from the raw per-episode distributions eval_session_r3.py stores
+in each row (rows from before that change degrade to mean-only).
+
+Usage:  python tools/eval_table.py [runs/round4/eval_session.jsonl]
 """
 from __future__ import annotations
 
 import json
 import sys
 from collections import OrderedDict
+
+import numpy as np
+
+TARGET = 0.80  # reference README.md:21: >80% coverage within 3 actions
+N_BOOT = 10000
 
 
 def load(path: str) -> "OrderedDict[str, dict]":
@@ -35,32 +45,111 @@ def stat(d: dict, prefix: str, suffix: str = "mean"):
     return None
 
 
+def boot_ci(vals, rng, stat_fn=np.mean, alpha=0.05):
+    vals = np.asarray(vals, np.float64)
+    if vals.size < 2:
+        return None
+    idx = rng.integers(0, vals.size, size=(N_BOOT, vals.size))
+    boots = stat_fn(vals[idx], axis=1)
+    return (float(np.quantile(boots, alpha / 2)),
+            float(np.quantile(boots, 1 - alpha / 2)))
+
+
+def boot_diff_ci(a, b, rng, alpha=0.05):
+    """Unpaired bootstrap CI on mean(a) - mean(b)."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    if a.size < 2 or b.size < 2:
+        return None
+    boots = (np.mean(a[rng.integers(0, a.size, (N_BOOT, a.size))], axis=1)
+             - np.mean(b[rng.integers(0, b.size, (N_BOOT, b.size))], axis=1))
+    return (float(np.quantile(boots, alpha / 2)),
+            float(np.quantile(boots, 1 - alpha / 2)))
+
+
+def fmt(v):
+    return f"{v:.4f}" if isinstance(v, (int, float)) else "—"
+
+
+def fmt_ci(ci):
+    return f"[{ci[0]:.3f}, {ci[1]:.3f}]" if ci else "—"
+
+
 def main():
     path = sys.argv[1] if len(sys.argv) > 1 else \
-        "runs/round3/eval_session.jsonl"
+        "runs/round4/eval_session.jsonl"
     rows = load(path)
+    rng = np.random.default_rng(0)
 
-    print("| job | eps | init cov | best cov@3 | Δcov | %Δ>0 |")
-    print("|---|---|---|---|---|---|")
+    print("| job | eps | seed | init cov | best cov@3 | 95% CI | Δcov "
+          "| %Δ>0 |")
+    print("|---|---|---|---|---|---|---|---|")
     curve = []
     for key, d in rows.items():
         init = stat(d, "init_coverage/")
         best = stat(d, "best_coverage/")
+        best_dist = stat(d, "best_coverage/", "distribution")
         delta = stat(d, "episode_delta_coverage/")
         pos = next((v for k, v in d.items()
                     if k.endswith("percent_positive")), None)
-        fmt = lambda v: f"{v:.4f}" if isinstance(v, float) else "—"
-        print(f"| {key} | {d.get('episodes')} | {fmt(init)} | {fmt(best)} "
-              f"| {fmt(delta)} | {fmt(pos)} |")
-        if key.startswith("hard/ckpt"):
-            curve.append((key.split("ckpt")[-1], best))
+        ci = boot_ci(best_dist, rng) if best_dist else None
+        print(f"| {key} | {d.get('episodes')} | {d.get('seed', '—')} "
+              f"| {fmt(init)} | {fmt(best)} | {fmt_ci(ci)} | {fmt(delta)} "
+              f"| {fmt(pos)} |")
+        if key.startswith("hard/ckpt") and best is not None:
+            curve.append((key.split("ckpt")[-1], best, ci))
+
+    # policy-vs-heuristic per set, with a CI on the difference
+    by_set: dict = {}
+    for key, d in rows.items():
+        set_name = key.split("/")[0]
+        by_set.setdefault(set_name, {})[key.split("/", 1)[1]] = d
+    comp_lines = []
+    for set_name, pols in sorted(by_set.items()):
+        heur = pols.get("heuristic")
+        ckpts = [(n, d) for n, d in pols.items() if n != "heuristic"]
+        if not heur or not ckpts:
+            continue
+        hd = stat(heur, "best_coverage/", "distribution")
+        for name, d in ckpts:
+            cd = stat(d, "best_coverage/", "distribution")
+            if not hd or not cd:
+                continue
+            diff = float(np.mean(cd) - np.mean(hd))
+            ci = boot_diff_ci(cd, hd, rng)
+            sig = ("**sig+**" if ci and ci[0] > 0
+                   else "sig-" if ci and ci[1] < 0 else "ns")
+            comp_lines.append(
+                f"| {set_name} | {name} | {diff:+.4f} | {fmt_ci(ci)} "
+                f"| {sig} |")
+    if comp_lines:
+        print("\nPolicy vs heuristic (best cov@3 mean difference, "
+              "95% bootstrap CI):")
+        print("| set | policy | Δmean | 95% CI | verdict |")
+        print("|---|---|---|---|---|")
+        for line in comp_lines:
+            print(line)
+
+    # pass/fail against the reference target on the hard set
+    hard_best = [(k, d) for k, d in rows.items()
+                 if k.startswith("hard/ckpt")]
+    if hard_best:
+        k, d = max(hard_best,
+                   key=lambda kd: stat(kd[1], "best_coverage/") or -1)
+        best = stat(d, "best_coverage/")
+        dist = stat(d, "best_coverage/", "distribution")
+        ci = boot_ci(dist, rng) if dist else None
+        verdict = "PASS" if (best or 0) >= TARGET else "FAIL"
+        print(f"\nReference target (>{TARGET:.2f} best cov@3, hard set): "
+              f"{verdict} — best policy {k} = {fmt(best)} "
+              f"{fmt_ci(ci)} (n={d.get('episodes')})")
 
     if len(curve) > 1:
         print("\nLearning curve (hard set, best cov@3 by optimizer step):")
-        print("| ckpt step | best cov@3 |")
-        print("|---|---|")
-        for step, best in sorted(curve, key=lambda t: int(t[0])):
-            print(f"| {int(step)} | {best:.4f} |")
+        print("| ckpt step | best cov@3 | 95% CI |")
+        print("|---|---|---|")
+        for step, best, ci in sorted(curve, key=lambda t: int(t[0])):
+            print(f"| {int(step)} | {best:.4f} | {fmt_ci(ci)} |")
 
 
 if __name__ == "__main__":
