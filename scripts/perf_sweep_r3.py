@@ -10,6 +10,7 @@ eval_quality.py.
 Usage (TPU):
   PYTHONPATH=/root/repo:/root/.axon_site python scripts/perf_sweep_r3.py
 """
+import argparse
 import itertools
 import json
 import time
@@ -72,6 +73,16 @@ def stretch_config(topo, params, *, frames=60, **kw):
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", default="30,24,20,16,12,10",
+                    help="comma list of Chebyshev iteration counts to sweep")
+    ap.add_argument("--contacts", default="8:16,6:12,4:12",
+                    help="comma list of contact_iterations:window pairs")
+    args = ap.parse_args()
+    iters_list = tuple(int(s) for s in args.iters.split(","))
+    contact_list = tuple(tuple(int(v) for v in s.split(":"))
+                         for s in args.contacts.split(","))
+
     topo = build_grid_topology(DIM, DIM, max_dimx=DIM, max_dimy=DIM)
     params = SolverParams()
     st = flat_state(DIM)
@@ -79,8 +90,7 @@ def main():
         lambda x: jnp.broadcast_to(x, (ENVS,) + x.shape), st)
 
     configs = []
-    for iters, (c_it, c_win) in itertools.product(
-            (30, 24, 20, 16, 12, 10), ((8, 16), (6, 12), (4, 12))):
+    for iters, (c_it, c_win) in itertools.product(iters_list, contact_list):
         configs.append(dict(iterations=iters, contact_iterations=c_it,
                             contact_window=c_win, contact_every=2,
                             self_collision=True))
