@@ -150,8 +150,19 @@ def _substeps_kernel(param_ref, P_ref, V_ref, w_ref,
         acc0 = jnp.zeros((1, H, W), P.dtype)
         acc1 = jnp.zeros((1, H, W), P.dtype)
         acc2 = jnp.zeros((1, H, W), P.dtype)
+        # roll chaining: the two diagonal (shear) forward shifts derive
+        # from the (1, 0) shift with ONE extra lane roll each instead of a
+        # sublane + lane roll pair (pltpu.roll is one op regardless of
+        # shift distance, so only multi-axis shifts benefit).  Bit-exact:
+        # rolls are pure permutations and compose.
+        S10 = _shift(P, 1, 0)
         for dy, dx, rest, gA, gB in classes:
-            Pb = _shift(P, dy, dx)
+            if (dy, dx) == (1, 0):
+                Pb = S10
+            elif dy == 1 and dx != 0:
+                Pb = _shift(S10, 0, dx)
+            else:
+                Pb = _shift(P, dy, dx)
             d0 = Pb[0] - P[0]
             d1 = Pb[1] - P[1]
             d2 = Pb[2] - P[2]
@@ -187,20 +198,34 @@ def _substeps_kernel(param_ref, P_ref, V_ref, w_ref,
         P = jnp.where(mm, P + dt * V, P)
 
         if cheb:
-            def body(it, carry):
-                P, P_prev, omega = carry
-                P_next = jacobi(P)
-                P_damp = CHEB_GAMMA * (P_next - P) + P
-                omega = jnp.where(
-                    it < CHEB_DELAY, 1.0,
-                    jnp.where(it == CHEB_DELAY, 2.0 / (2.0 - rho2),
-                              4.0 / (4.0 - rho2 * omega)))
-                P_acc = omega * (P_damp - P_prev) + P_prev
-                P_acc = jnp.where(it < CHEB_DELAY, P_next, P_acc)
-                return (plane(P_acc, prev), P, omega)
+            # Chebyshev loop with the warm-up (it < CHEB_DELAY) and the
+            # first accelerated iteration (omega = 2/(2-rho2)) PEELED out
+            # of the fori_loop: drops the per-iteration it<DELAY selects
+            # entirely, and at CHEB_GAMMA == 1.0 replaces the damping
+            # blend 1*(Pn-P)+P with Pn itself — the compiler cannot fold
+            # that ((a-b)+b != a in floats).  Semantics identical to the
+            # round-3 single-loop form (parity tests unchanged).
+            def damp(P_next, P):
+                if CHEB_GAMMA == 1.0:
+                    return P_next
+                return CHEB_GAMMA * (P_next - P) + P
 
-            P, _, _ = jax.lax.fori_loop(
-                0, iterations, body, (P, P, jnp.float32(1.0)))
+            P_prev = P
+            for _ in range(min(CHEB_DELAY, iterations)):
+                P_prev, P = P, plane(jacobi(P), prev)
+            if iterations > CHEB_DELAY:
+                omega0 = 2.0 / (2.0 - rho2)
+                P_acc = omega0 * (damp(jacobi(P), P) - P_prev) + P_prev
+                P_prev, P = P, plane(P_acc, prev)
+
+                def body(_, carry):
+                    P, P_prev, omega = carry
+                    omega = 4.0 / (4.0 - rho2 * omega)
+                    P_acc = omega * (damp(jacobi(P), P) - P_prev) + P_prev
+                    return (plane(P_acc, prev), P, omega)
+
+                P, _, _ = jax.lax.fori_loop(
+                    CHEB_DELAY + 1, iterations, body, (P, P_prev, omega0))
         else:
             def body(_, P):
                 return plane(jacobi(P), prev)

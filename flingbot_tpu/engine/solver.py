@@ -228,19 +228,33 @@ def _chebyshev_loop(P, iterate_fn, iterations: int, plane_fn,
     rho2 = rho * rho
     gamma = CHEBYSHEV_GAMMA
 
-    def body(k, carry):
+    def damp(P_next, P):
+        # gamma == 1.0 fast path: 1*(Pn-P)+P is NOT compiler-foldable to
+        # Pn in floats; skip the two vector ops (mirrors _substeps_kernel)
+        if gamma == 1.0:
+            return P_next
+        return gamma * (P_next - P) + P
+
+    # warm-up (plain Jacobi) and the first accelerated iteration peeled
+    # out of the fori_loop — drops the per-iteration k<DELAY selects
+    P_prev = P
+    for _ in range(min(CHEBYSHEV_DELAY, iterations)):
+        P_prev, P = P, plane_fn(iterate_fn(P))
+    if iterations <= CHEBYSHEV_DELAY:
+        return P
+    omega0 = 2.0 / (2.0 - rho2)
+    P_acc = omega0 * (damp(iterate_fn(P), P) - P_prev) + P_prev
+    P_prev, P = P, plane_fn(P_acc)
+
+    def body(_, carry):
         P, P_prev, omega = carry
-        P_next = iterate_fn(P)
-        omega = jnp.where(
-            k < CHEBYSHEV_DELAY, 1.0,
-            jnp.where(k == CHEBYSHEV_DELAY, 2.0 / (2.0 - rho2),
-                      4.0 / (4.0 - rho2 * omega)))
-        P_acc = omega * (gamma * (P_next - P) + P - P_prev) + P_prev
-        P_acc = jnp.where(k < CHEBYSHEV_DELAY, P_next, P_acc)
+        omega = 4.0 / (4.0 - rho2 * omega)
+        P_acc = omega * (damp(iterate_fn(P), P) - P_prev) + P_prev
         return (plane_fn(P_acc), P, omega)
 
     P_out, _, _ = jax.lax.fori_loop(
-        0, iterations, body, (P, P, jnp.float32(1.0)))
+        CHEBYSHEV_DELAY + 1, iterations, body,
+        (P, P_prev, jnp.asarray(omega0, jnp.float32)))
     return P_out
 
 

@@ -99,6 +99,7 @@ class BatchSimEnv:
         seed: int = 0,
         dump_visualizations: bool = False,
         env_chunk: Optional[int] = None,
+        obs_chunk: Optional[int] = None,
         exec_mode: str = "chunked",
         chunk_steps: int = 64,
         **_unused,
@@ -181,6 +182,17 @@ class BatchSimEnv:
             while num_envs % c != 0:
                 c -= 1
             self.env_chunk = c
+        # Observation gets its OWN (smaller) batch cap: the 96-view warp
+        # stack is ~(C+1, T, D, D) f32 per env and XLA pads the 64-lane
+        # minor dim 2x, so a full-width observe call holds multiple
+        # (B, 96, *, 64, 64) temps — at B=256 that OOM'd the chip (20.3G
+        # used / 15.75G HBM, 2026-08-19) while the sim step itself runs
+        # fine at 256+.  64 envs/observe-call keeps the warp temps ~1.1G.
+        if obs_chunk is None:
+            obs_chunk = 64
+        self.obs_chunk = min(int(obs_chunk), self.num_envs)
+        while num_envs % self.obs_chunk != 0:
+            self.obs_chunk -= 1
 
         self.tasks = [None] * num_envs
         self.memories = [Memory() for _ in range(num_envs)]
@@ -380,9 +392,13 @@ class BatchSimEnv:
             lambda *xs: jnp.concatenate(xs, axis=0), *outs)
 
     def _observe(self):
+        # free the previous obs stack's device buffers before building the
+        # new one — at 256 envs the (B, T, 4, D, D) stack is ~3.2G padded
+        # and holding both generations doubles the resident footprint
+        self.obs = None
         rot = jnp.asarray(self.rotations)
         sc = jnp.asarray(self.scale_factors)
-        C = self.env_chunk
+        C = self.obs_chunk
         B = self.num_envs
         if self.domain_randomization:
             call = lambda p, a, k: self._vm_observe(p, a, rot, sc, k)

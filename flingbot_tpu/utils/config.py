@@ -125,6 +125,10 @@ def config_parser(parser: ArgumentParser = None) -> ArgumentParser:
     parser.add_argument("--env_chunk", type=int, default=None,
                         help="envs per device program call (default: all "
                              "envs when exec_mode=chunked, 32 when fused)")
+    parser.add_argument("--obs_chunk", type=int, default=None,
+                        help="envs per observation (96-view warp) device "
+                             "call; the obs stack is the HBM hog, so it is "
+                             "capped separately from env_chunk (default 64)")
     parser.add_argument("--exec_mode", choices=["chunked", "fused"],
                         default="chunked",
                         help="chunked: host-driven bounded device calls "

@@ -46,6 +46,39 @@ class TestBatchEnv:
             assert len(f) == 2
             assert all("_last" in k for k in f)
 
+    def test_obs_chunk_caps_observe_batch(self, task_file):
+        """The observation (96-view warp) path is the HBM hog: a full-width
+        observe call at 256 envs OOM'd the chip (20.3G/15.75G, 2026-08-19),
+        so _observe slices the env batch to obs_chunk envs per device call
+        independently of env_chunk.  Chunked observe must be shape- and
+        value-identical to the full-width call."""
+        loader = TaskLoader(task_file, repeat=True)
+        kw = dict(
+            get_task_fn=loader.get_next_task,
+            num_envs=4,
+            obs_dim=64,
+            num_rotations=2,
+            scale_factors=[1.0, 1.5],
+            episode_length=1,
+            render_dim=128,
+            max_grid_dim=MAX_DIM,
+            self_collision=False,
+            domain_randomization=False,
+            seed=3,
+        )
+        # obs_chunk rounds down to a divisor of num_envs (3 -> 2)
+        env = BatchSimEnv(obs_chunk=3, **kw)
+        assert env.obs_chunk == 2
+        assert env.env_chunk == 4  # sim width unaffected
+        obs_chunked = env.reset()
+        loader2 = TaskLoader(task_file, repeat=True)
+        kw["get_task_fn"] = loader2.get_next_task
+        env_full = BatchSimEnv(obs_chunk=4, **kw)
+        assert env_full.obs_chunk == 4
+        obs_full = env_full.reset()
+        np.testing.assert_allclose(
+            np.asarray(obs_chunked), np.asarray(obs_full), atol=1e-6)
+
 
 @pytest.mark.slow
 class TestRunSimSmoke:

