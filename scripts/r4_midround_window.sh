@@ -90,5 +90,5 @@ handoff
 echo "=== resuming training ($(date))"
 setsid bash scripts/train_r3.sh runs/round4 256 128 \
   >> /tmp/r4_train.log 2>&1 &
-echo $! > /tmp/r4_train_pgid
+# pgid self-recorded by train_r3.sh (do NOT write $! here: setsid child pgid != $!)
 echo "=== training resumed pgid $(cat /tmp/r4_train_pgid) ($(date))"

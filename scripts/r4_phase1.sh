@@ -62,5 +62,5 @@ echo "=== launching training ($(date))"
 [ -f runs/round4/latest_ckpt.pth ] || cp runs/round3/latest_ckpt.pth runs/round4/
 setsid bash scripts/train_r3.sh runs/round4 256 128 \
   > /tmp/r4_train.log 2>&1 &
-echo $! > /tmp/r4_train_pgid
+# pgid self-recorded by train_r3.sh (do NOT write $! here: setsid child pgid != $!)
 echo "=== training launched pgid $(cat /tmp/r4_train_pgid) ($(date))"

@@ -31,5 +31,5 @@ mkdir -p runs/round4
 # replay), runs until killed: scripts/r4_finalize.sh stops it cleanly.
 setsid bash scripts/train_r3.sh runs/round4 256 128 \
   > /tmp/r4_train.log 2>&1 &
-echo $! > /tmp/r4_train_pgid
+# pgid self-recorded by train_r3.sh (do NOT write $! here: setsid child pgid != $!)
 echo "=== training launched pgid $(cat /tmp/r4_train_pgid) ($(date))"

@@ -10,9 +10,14 @@ LOG=${1:-runs/round3}
 ENVS=${2:-128}
 CHUNK=${3:-192}
 cd /root/repo
-# record our process-group id so finalize_r3.sh can stop the whole run
-# (launch with `setsid bash scripts/train_r3.sh ...` so $$ IS the pgid)
+# record our process-group id so finalize/window scripts can stop the whole
+# run (launch with `setsid bash scripts/train_r3.sh ...` so $$ IS the pgid).
+# NOTE: launchers must NOT write these files from `$!` of `setsid ... &` —
+# that is the setsid wrapper's pid, NOT the forked child's pgid (round-4
+# lastwindow kill missed the trainer because of exactly that; self-recording
+# here overwrites any wrong launcher value since the child runs after).
 echo $$ > /tmp/train_r3b.pid
+echo $$ > /tmp/r4_train_pgid
 export PYTHONPATH=/root/repo:/root/.axon_site
 export JAX_COMPILATION_CACHE_DIR=/root/jaxcache
 exec bash scripts/retry.sh 100 150 \
