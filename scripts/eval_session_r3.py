@@ -186,7 +186,10 @@ def main():
         # (ADVICE round 3: duplicates burned TPU budget, no-match was silent)
         picked, seen = [], set()
         for pat in pats:
-            matched = [j for j in jobs if pat in j["name"]]
+            # exact name wins; substring match only as a fallback (the
+            # pattern "hard/ckpt" must NOT also pull in hard/ckpt026/648)
+            matched = [j for j in jobs if pat == j["name"]] \
+                or [j for j in jobs if pat in j["name"]]
             if not matched:
                 raise SystemExit(
                     f"--only pattern {pat!r} matched no job name")

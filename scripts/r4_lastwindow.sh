@@ -33,13 +33,14 @@ if [ -f /tmp/r4_train_pgid ]; then
 fi
 handoff
 
-# --- stage 1: full-100 held-out hard pair (heuristic vs round-4 ckpt) ---
+# --- stage 1: full-100 held-out hard pair (round-4 ckpt FIRST: if the
+# budget gate cuts the second job, the round-4 policy number must exist) ---
 echo "=== eval A: hard pair ($(date), $(left)s left)"
 bash scripts/retry.sh 2 240 python scripts/eval_session_r3.py \
   --ckpt runs/round4/latest_ckpt.pth \
   --out runs/round4/eval_session.jsonl \
-  --budget $(( $(left) - 2400 > 600 ? $(left) - 2400 : 600 )) \
-  --only "hard/heuristic,hard/ckpt" 2>&1 | grep -v WARNING
+  --budget $(( $(left) - 2100 > 600 ? $(left) - 2100 : 600 )) \
+  --only "hard/ckpt,hard/heuristic" 2>&1 | grep -v WARNING
 handoff
 
 # --- stage 2: mesh re-probe (gather-only springs) gates the shirt rows ---
