@@ -17,6 +17,7 @@ steps.
 from __future__ import annotations
 
 import functools
+import time
 from typing import Callable, List, Optional, Sequence
 
 import jax
@@ -158,6 +159,7 @@ class BatchSimEnv:
         assert exec_mode in ("chunked", "fused")
         self.exec_mode = exec_mode
         self.chunk_steps = int(chunk_steps)
+        self._perf_chunks = 0
         if mesh_caps is not None and exec_mode == "chunked" \
                 and self.chunk_steps > MESH_CHUNK_STEPS_CAP:
             # Mesh (shirt) sim steps are far slower per step than the
@@ -451,13 +453,16 @@ class BatchSimEnv:
             # already-done carry is a no-op (program_chunk's loop condition
             # is false at entry), so the single overshoot chunk is free.
             prev_done = None
+            chunks_used = 0
             for _ in range(max_iters):
                 carry, done = self._vm_chunk(
                     carry, topo_sl, self.params, prog)
+                chunks_used += 1
                 if prev_done is not None \
                         and bool(np.all(np.asarray(prev_done))):
                     break
                 prev_done = done
+            self._perf_chunks += chunks_used
             fin = self._vm_finish(carry, pre_pos)
             if self.record_frames > 0:
                 new_state, post_cov, terminate, frames, n_frames = fin
@@ -478,12 +483,15 @@ class BatchSimEnv:
         (chunked).  Host: replay logging + per-env resets."""
         vm = jnp.asarray(value_maps)
         prev_stack_dev = self.obs.obs_stack  # gather AFTER sel is known
+        _pt0 = time.perf_counter()
+        self._perf_chunks = 0
         if self.exec_mode == "chunked":
             out = self._step_device_chunked(vm)
         else:
             out = self._chunked(
                 self._vm_step, (self.state, self.topo), vm, self.obs,
                 static=(self.params,), rot=jnp.asarray(self.rotations))
+        _pt_prog = time.perf_counter()
         if self.record_frames > 0:
             (new_state, sel, pre_cov, post_cov, terminate, frames,
              n_frames) = out
@@ -494,6 +502,7 @@ class BatchSimEnv:
             new_state, sel, pre_cov, post_cov, terminate = out
         self.state = new_state
         self._observe()
+        _pt_obs = time.perf_counter()
 
         pre_cov = np.asarray(pre_cov)
         post_cov = np.asarray(post_cov)
@@ -543,6 +552,7 @@ class BatchSimEnv:
                 mem.add_value(
                     "pretransform_observations", self._pretransform_obs(i))
 
+        _pt_replay = time.perf_counter()
         if reload_idx:
             for i in reload_idx:
                 self.tasks[i] = self.get_task_fn()
@@ -571,5 +581,19 @@ class BatchSimEnv:
             for i in reload_idx:
                 self.memories[i].add_value(
                     "pretransform_observations", self._pretransform_obs(i))
+
+        # wall-time buckets for the collection-rate diagnosis (the round-4
+        # 128-env training run measured ~840 s/fling-round vs ~140 s of pure
+        # sim at the benched env-steps rate; these buckets attribute the
+        # gap).  Device calls are async, but each bucket ends at a blocking
+        # host sync (chunk done-checks / np.asarray downloads), so the
+        # attribution is accurate to one queue tail.
+        _pt_end = time.perf_counter()
+        print(f"[env.perf] program {_pt_prog - _pt0:.1f}s "
+              f"(chunks {self._perf_chunks}x{self.chunk_steps}) "
+              f"observe {_pt_obs - _pt_prog:.1f}s "
+              f"replay {_pt_replay - _pt_obs:.1f}s "
+              f"reload {_pt_end - _pt_replay:.1f}s (n={len(reload_idx)}) "
+              f"total {_pt_end - _pt0:.1f}s", flush=True)
 
         return self.obs.obs_stack

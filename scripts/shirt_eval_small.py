@@ -1,0 +1,63 @@
+"""First shirt coverage@3 rows at small n — the largest width the mesh
+path's measured TPU speed affords in a short window.
+
+The full shirt-16 eval at num_envs=16 is ~3.6 h at the re-probed
+1.88 s/step (runs/round4/mesh_probe2.json); at num_envs=2 the same probe
+measured 133 ms/step, making a 2-task x 3-action episode set ~18 min.
+This runs shirt/heuristic at n=2 first, then shirt/ckpt if the deadline
+allows, appending rows to the shared eval_session.jsonl.  Matches the
+shirt eval protocol of /root/reference/README.md:136-141 (held-out
+Cloth3D-style shirts, coverage within 3 actions) at reduced n.
+
+Usage:
+  PYTHONPATH=/root/repo:/root/.axon_site python scripts/shirt_eval_small.py \
+    [END_EPOCH] [--out runs/round4/eval_session.jsonl]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from eval_session_r3 import run_eval  # noqa: E402  (configures jax cache)
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    end = int(args[0]) if args else int(time.time()) + 2700
+    out = "runs/round4/eval_session.jsonl"
+    for i, a in enumerate(sys.argv):
+        if a == "--out":
+            out = sys.argv[i + 1]
+
+    jobs = [
+        dict(name="shirt/heuristic-n2", tasks="data_r3/shirt_eval_16.hdf5",
+             policy="heuristic", load=None, episodes=2, num_envs=2),
+        dict(name="shirt/ckpt-n2", tasks="data_r3/shirt_eval_16.hdf5",
+             policy="ckpt", load="runs/round4/latest_ckpt.pth",
+             episodes=2, num_envs=2),
+    ]
+    for job in jobs:
+        left = end - time.time()
+        # heuristic row needs compile (~300 s) + ~1100 s run; the ckpt row
+        # reuses every compiled program, so ~1100 s suffices
+        need = 1500 if job["policy"] == "heuristic" else 1150
+        if left < need:
+            print(f"[shirt_small] SKIP {job['name']} ({left:.0f}s left, "
+                  f"need {need})", flush=True)
+            continue
+        print(f"=== {job['name']} ({left:.0f}s left)", flush=True)
+        res = run_eval(**job)
+        with open(out, "a") as f:
+            f.write(json.dumps(res) + "\n")
+        print(json.dumps(res), flush=True)
+    print("[shirt_small] done", flush=True)
+
+
+if __name__ == "__main__":
+    main()
