@@ -65,13 +65,15 @@ def get_policy(load: str):
 
 def run_eval(name: str, tasks: str, policy: str, load: str | None,
              episodes: int, num_envs: int = 16, max_grid_dim: int = 104,
-             steps: int = 3, seed: int = 0) -> dict:
+             steps: int = 3, seed: int = 0, task_offset: int = 0) -> dict:
     from flingbot_tpu.env.batch_env import BatchSimEnv
     from flingbot_tpu.env.tasks import TaskLoader, detect_mesh_caps
     from flingbot_tpu.utils.stats import collect_stats
 
     replay = tempfile.mktemp(suffix=".hdf5")
     loader = TaskLoader(tasks, repeat=True)
+    for _ in range(task_offset):  # small-n shirt rows: skip served tasks
+        loader.get_next_task()
     env = BatchSimEnv(
         get_task_fn=loader.get_next_task, replay_buffer_path=replay,
         num_envs=num_envs, obs_dim=64, num_rotations=ROTATIONS,

@@ -106,22 +106,38 @@ def run_config(name, ctor_over, param_over, args, base_tasks, max_cov):
         env.params = env.params.replace(
             **{k: jnp.float32(v) for k, v in param_over.items()})
 
+    T = len(base_tasks)
     rng = np.random.default_rng(args.seed)
     t0 = time.time()
     obs = np.asarray(env.reset())
-    vm = build_value_maps(obs, len(base_tasks), args.cands, rng)
-    env.step(vm)
-    cov = np.asarray(env._chunked_simple(
-        env._vm_coverage, env.state.positions, env.state.active))
-    ratio = cov.reshape(len(base_tasks), args.cands) / max_cov[:, None]
-    reloaded = (np.asarray(env.timesteps) == 0).reshape(ratio.shape)
-    ratio = np.where(reloaded & ~reloaded.all(axis=1, keepdims=True),
-                     -1.0, ratio)
-    best = ratio.max(axis=1)
+    running_best = None  # oracle@k is a running max across levels
+    for level in range(args.levels):
+        vm = build_value_maps(obs, T, args.cands, rng)
+        env.step(vm)
+        cov = np.asarray(env._chunked_simple(
+            env._vm_coverage, env.state.positions, env.state.active))
+        ratio = cov.reshape(T, args.cands) / max_cov[:, None]
+        # exclude reloaded (no-move early exit) envs from the argmax —
+        # their coverage is a fresh crumpled state, not a fling outcome
+        reloaded = (np.asarray(env.timesteps) == 0).reshape(ratio.shape)
+        ratio = np.where(reloaded & ~reloaded.all(axis=1, keepdims=True),
+                         -1.0, ratio)
+        best = ratio.max(axis=1)
+        running_best = best if running_best is None \
+            else np.maximum(running_best, best)
+        if level + 1 < args.levels:
+            # broadcast each group's best state/topology to the group
+            sel = np.arange(T) * args.cands + ratio.argmax(axis=1)
+            idx = jnp.asarray(np.repeat(sel, args.cands))
+            env.state = jax.tree_util.tree_map(lambda x: x[idx], env.state)
+            env.topo = jax.tree_util.tree_map(lambda x: x[idx], env.topo)
+            env._observe()
+            obs = np.asarray(env.obs.obs_stack)
     row = {"config": name, "ctor": ctor_over, "params": param_over,
-           "oracle_l1": [round(float(v), 4) for v in best],
-           "mean_oracle_l1": round(float(best.mean()), 4),
-           "ge_080": int((best >= 0.80).sum()),
+           "levels": args.levels,
+           "oracle_l1": [round(float(v), 4) for v in running_best],
+           "mean_oracle_l1": round(float(running_best.mean()), 4),
+           "ge_080": int((running_best >= 0.80).sum()),
            "seconds": round(time.time() - t0, 1)}
     del env
     return row
@@ -132,6 +148,9 @@ def main():
     p.add_argument("--tasks", default="data_r3/rect_eval_hard_100.hdf5")
     p.add_argument("--num_tasks", type=int, default=8)
     p.add_argument("--cands", type=int, default=16)
+    p.add_argument("--levels", type=int, default=1,
+                   help="fling levels per config (1 for the sweep; 3 to "
+                        "re-score a winner like the oracle probe)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--configs", default=None,
                    help="comma-separated config names (default: all)")

@@ -31,25 +31,32 @@ def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     end = int(args[0]) if args else int(time.time()) + 2700
     out = "runs/round4/eval_session.jsonl"
+    offset = 0
     for i, a in enumerate(sys.argv):
         if a == "--out":
             out = sys.argv[i + 1]
+        if a == "--task_offset":
+            offset = int(sys.argv[i + 1])
 
     jobs = [
         # trained-policy row first: the reference's headline shirt metric
         # is policy coverage@3 (README.md:136-141); with a short window the
         # single row that fits should be the policy one
-        dict(name="shirt/ckpt-n2", tasks="data_r3/shirt_eval_16.hdf5",
+        dict(name=f"shirt/ckpt-n2-off{offset}",
+             tasks="data_r3/shirt_eval_16.hdf5",
              policy="ckpt", load="runs/round4/latest_ckpt.pth",
-             episodes=2, num_envs=2),
-        dict(name="shirt/heuristic-n2", tasks="data_r3/shirt_eval_16.hdf5",
-             policy="heuristic", load=None, episodes=2, num_envs=2),
+             episodes=2, num_envs=2, task_offset=offset),
+        dict(name=f"shirt/heuristic-n2-off{offset}",
+             tasks="data_r3/shirt_eval_16.hdf5",
+             policy="heuristic", load=None, episodes=2, num_envs=2,
+             task_offset=offset),
     ]
     for i, job in enumerate(jobs):
         left = end - time.time()
-        # first row needs compile (~300 s) + ~1100 s run; the second row
-        # reuses every compiled program, so ~1100 s suffices
-        need = 1500 if i == 0 else 1150
+        # with a warm compile cache a 2-env shirt row runs in ~420-570 s
+        # (measured 15:14-15:32 window); cold compiles add ~300 s
+        warm = os.environ.get("SHIRT_EVAL_WARM") == "1"
+        need = (620 if warm else 1500) if i == 0 else 520
         if left < need:
             print(f"[shirt_small] SKIP {job['name']} ({left:.0f}s left, "
                   f"need {need})", flush=True)
