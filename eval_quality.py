@@ -89,13 +89,12 @@ def main():
     args = p.parse_args()
 
     from flingbot_tpu.env.batch_env import BatchSimEnv
-    from flingbot_tpu.env.tasks import TaskLoader, detect_mesh_caps
+    from flingbot_tpu.env.tasks import TaskLoader, detect_topology_buckets
 
     import tempfile
 
     replay = tempfile.mktemp(suffix=".hdf5")
     loader = TaskLoader(args.tasks, repeat=True)
-    mesh_caps = detect_mesh_caps(args.tasks)  # shirt sets run batched too
     env = BatchSimEnv(
         get_task_fn=loader.get_next_task,
         replay_buffer_path=replay,
@@ -107,7 +106,7 @@ def main():
         episode_length=args.steps,
         render_dim=args.render_dim,
         max_grid_dim=args.max_grid_dim,
-        mesh_caps=mesh_caps,
+        **detect_topology_buckets(args.tasks),  # shirt sets run batched too
         backend=args.backend,
         spring_mode=args.spring_mode,
         contact_mode=args.contact_mode,

@@ -1,6 +1,7 @@
 from flingbot_tpu.engine.state import ClothState, SolverParams, SceneConfig
 from flingbot_tpu.engine.topology import (
     GridTopology,
+    LayeredGridTopology,
     MeshTopology,
     build_grid_topology,
     build_mesh_topology,
@@ -13,6 +14,7 @@ __all__ = [
     "SolverParams",
     "SceneConfig",
     "GridTopology",
+    "LayeredGridTopology",
     "MeshTopology",
     "build_grid_topology",
     "build_mesh_topology",

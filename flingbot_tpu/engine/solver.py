@@ -43,6 +43,7 @@ from flingbot_tpu.engine.state import ClothState, SolverParams
 from flingbot_tpu.engine.topology import (
     GRID_STENCIL_CLASSES,
     GridTopology,
+    LayeredGridTopology,
     MeshTopology,
 )
 from flingbot_tpu.engine import collisions
@@ -282,6 +283,31 @@ def solve_springs_mesh(P, w, topo: MeshTopology, relax):
     return P + relax * acc / jnp.maximum(topo.degree, 1.0)[None]
 
 
+def solve_springs_layered(P, w, topo: LayeredGridTopology, relax):
+    """Jacobi + local relaxation over the layered shirt lattice.  P: (3,H,W).
+
+    The same constraint system as solve_springs_mesh (builder-verified exact
+    edge/rest/degree parity), but every class is a fixed lattice offset so
+    the whole solve is shifted-array arithmetic — no gathers.  This is what
+    makes shirts grid-speed on TPU (the mesh gather path measured
+    118 ms/env-step at batch 16 vs 0.47 ms for the grid stencil)."""
+    acc = jnp.zeros_like(P)
+    for k, (dy, dx) in enumerate(topo.offsets):
+        stiff = topo.stiff[k]
+        Pb = shift2d(P, dy, dx)
+        wb = shift2d(w, dy, dx)
+        d = Pb - P
+        dist = _norm3(d)
+        C = dist - topo.rest[k]
+        wsum = w + wb
+        s = jnp.where((stiff > 0) & (wsum > 0),
+                      stiff * C / ((wsum + _EPS) * dist), 0.0)
+        dA = (w * s)[None] * d
+        dB = (-(wb * s))[None] * d
+        acc = acc + dA + shift2d(dB, -dy, -dx)
+    return P + relax * acc / jnp.maximum(topo.count, 1.0)[None]
+
+
 # --------------------------------------------------------------------------
 # contacts: ground plane, picker spheres (P is (3, ...))
 # --------------------------------------------------------------------------
@@ -494,6 +520,12 @@ def step(
             resort_interval, picker_radius, backend, pallas_interpret, aero,
             contact_window,
         )
+    if isinstance(topo, LayeredGridTopology):
+        return _step_layered(
+            state, topo, params, substeps, iterations, self_collision,
+            spring_mode, contact_mode, contact_iterations, contact_every,
+            picker_radius, backend, pallas_interpret, aero, contact_window,
+        )
     return _step_mesh(
         state, topo, params, substeps, iterations, self_collision,
         spring_mode, contact_mode, contact_iterations, contact_every,
@@ -699,6 +731,64 @@ def _step_grid(state, topo, params, substeps, iterations, self_collision,
         step_count=state.step_count + 1,
         sweep_perm=perm if perm is not None else state.sweep_perm,
         sweep_inv=inv_perm if inv_perm is not None else state.sweep_inv,
+    )
+
+
+def _step_layered(state, topo, params, substeps, iterations, self_collision,
+                  spring_mode, contact_mode, contact_iterations,
+                  contact_every, picker_radius, backend="xla",
+                  pallas_interpret=False, aero=False, contact_window=16):
+    """Layered-lattice shirt step: the stencil spring solve of
+    solve_springs_layered inside the same substep/Chebyshev/contact pipeline
+    as the mesh path (same constraint system by builder verification, so
+    identical solver semantics — only the layout changed).  Contacts reuse
+    the production sort-based group on the flattened particle axis."""
+    H, W = topo.H, topo.W
+    P = state.positions.T.reshape(3, H, W)
+    V = state.velocities.T.reshape(3, H, W)
+    act2 = state.active.reshape(H, W)
+    w = jnp.where(act2, state.inv_mass.reshape(H, W), 0.0)
+    moving = act2 & (w > 0)
+
+    contact_fn = None
+    if self_collision:
+        if contact_mode != "sort":
+            raise ValueError(
+                f"layered topology supports contact_mode='sort' only "
+                f"(got {contact_mode!r})")
+        rest_flat = topo.rest_positions.T
+
+        def contact_fn(Px, prev):
+            out = collisions.contact_group(
+                Px.reshape(3, -1), prev.reshape(3, -1),
+                w.reshape(-1), state.active, params,
+                rest_dist=params.radius, rest_positions=rest_flat,
+                window=contact_window, iterations=contact_iterations,
+                backend=("pallas" if backend == "pallas" else "xla"),
+                interpret=pallas_interpret)
+            return out.reshape(3, H, W)
+
+    if spring_mode not in ("gs", "chebyshev", "jacobi"):
+        raise ValueError(f"unknown layered spring_mode {spring_mode!r}")
+    solve_fn = lambda Px: solve_springs_layered(Px, w, topo,
+                                                params.relaxation_factor)
+    normals_fn = None
+    if aero:  # dynamic-triangle drag/lift (NvFlex.h:120-122)
+        from flingbot_tpu.engine.aero import mesh_normals
+
+        normals_fn = lambda Px: mesh_normals(
+            Px.reshape(3, -1), topo.triangles, topo.tri_mask,
+            state.active).reshape(3, H, W)
+    P, V = _run_substeps(
+        P, V, w, moving, params, substeps, iterations, solve_fn,
+        contact_fn, state.picker_pos, picker_radius, normals_fn,
+        contact_every,
+        chebyshev=(spring_mode in ("gs", "chebyshev")),
+    )
+    return state.replace(
+        positions=P.reshape(3, -1).T, velocities=V.reshape(3, -1).T,
+        time=state.time + params.dt,
+        step_count=state.step_count + 1,
     )
 
 

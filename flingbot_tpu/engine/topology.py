@@ -84,6 +84,51 @@ class MeshTopology(struct.PyTreeNode):
     nbr_mask: jnp.ndarray  # (D, N) bool slot validity
 
 
+class LayeredGridTopology(struct.PyTreeNode):
+    """Shirt (two-panel garment) topology embedded in ONE grid lattice so the
+    spring solve is pure stencil arithmetic — the TPU-first fix for the mesh
+    path's gather wall (measured 118 ms/env-step at batch 16 on v5e vs
+    0.47 ms for the 100x100 grid stencil, runs/round4/mesh_probe2.json).
+
+    The procedural shirts (env/shirts.py, standing in for the reference's
+    Cloth3D garments, reference: environment/tasks.py:131-142) are two raster
+    grid panels sewn along seams.  Every vertex gets exactly one lattice slot:
+    front-panel (and sewn) vertices at row r, back-panel vertices at row
+    H2 + r.  Every spring then joins two slots at a FIXED lattice offset:
+    intra-panel springs are the six CreateSpringGrid stencil classes
+    (helpers.h:872-925), and seam springs (back-panel edges reaching a sewn
+    vertex, plus bend pairs that straddle the seam, tasks.py:71-102 bend
+    derivation) fall into a small family of cross-layer offsets
+    (H2 + a, b), |a|,|b| <= 2.  The builder verifies the offset re-expression
+    covers the mesh's edge set EXACTLY (same edges, same rest lengths, same
+    per-vertex degrees) — the layered solve is the same constraint system as
+    MeshTopology, only laid out for shifted-array arithmetic.
+
+    Per-class arrays are keyed at the BASE slot: class k joins slot (y, x)
+    to slot (y + offsets[k][0], x + offsets[k][1]); stiff == 0 marks
+    no-edge slots (doubles as the mask)."""
+
+    rest: jnp.ndarray  # (K, H, W) f32 per-slot rest length
+    stiff: jnp.ndarray  # (K, H, W) f32 per-slot stiffness, 0 = no edge
+    count: jnp.ndarray  # (H, W) f32 per-slot constraint degree
+    active: jnp.ndarray  # (H, W) bool slot holds a real vertex
+    rest_positions: jnp.ndarray  # (H*W, 3) f32 rest pose (contact filter)
+    triangles: jnp.ndarray  # (T, 3) i32 grid-slot ids, padded
+    tri_mask: jnp.ndarray  # (T,) bool
+    mesh_slot: jnp.ndarray  # (Vcap,) i32 lattice slot of each mesh vertex
+    grid_src: jnp.ndarray  # (H*W,) i32 mesh vertex feeding each slot (0 pad)
+    num_verts: jnp.ndarray  # i32 scalar
+    # static (shared across a vmapped task-set bucket)
+    offsets: tuple = struct.field(pytree_node=False)  # ((dy, dx), ...)
+    H: int = struct.field(pytree_node=False, default=0)
+    W: int = struct.field(pytree_node=False, default=0)
+    vert_capacity: int = struct.field(pytree_node=False, default=0)
+
+    @property
+    def capacity(self) -> int:
+        return self.H * self.W
+
+
 def grid_positions(
     dimx: int, dimy: int, lower=(0.0, 0.0, 0.0), spacing: float = PARTICLE_RADIUS
 ) -> np.ndarray:
@@ -332,6 +377,225 @@ def grid_mesh_topology(
     return build_mesh_topology(
         rest_positions, per_class[0], per_class[1], per_class[2], tri,
         stiffness=stiffness, **caps,
+    )
+
+
+# --------------------------------------------------------------------------
+# layered-grid shirt topology (see LayeredGridTopology docstring)
+# --------------------------------------------------------------------------
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class LayeredSpec:
+    """Static layered-lattice bucket shared by every task in a set (vmapped
+    topologies must stack): lattice extent, layer offset, the offset-class
+    union, and padded capacities.  Hashable -> usable as a jit static."""
+
+    H: int
+    W: int
+    H2: int  # back-panel row offset
+    offsets: tuple  # tuple[(dy, dx)] normalized final lattice offsets
+    vert_capacity: int
+    tri_capacity: int
+
+
+def _layered_layout(verts, stretch_edges):
+    """Recover the panel lattice from rest positions: per-vertex integer
+    (row, col, layer).  Returns None when the mesh is not a 2-layer lattice
+    (arbitrary Cloth3D geometry falls back to MeshTopology)."""
+    v = np.asarray(verts, np.float64).reshape(-1, 3)
+    e = np.asarray(stretch_edges, np.int64).reshape(-1, 2)
+    if len(v) == 0 or len(e) == 0:
+        return None
+    d = np.abs(v[e[:, 0]] - v[e[:, 1]])[:, [0, 2]]
+    s = float(np.median(d.max(axis=1)))  # lattice spacing (xz projection)
+    if not np.isfinite(s) or s < 1e-6:
+        return None
+    cf = (v[:, 0] - v[:, 0].min()) / s
+    rf = (v[:, 2] - v[:, 2].min()) / s
+    c = np.round(cf).astype(np.int64)
+    r = np.round(rf).astype(np.int64)
+    if np.abs(cf - c).max() > 0.25 or np.abs(rf - r).max() > 0.25:
+        return None  # vertices off-lattice
+    y = v[:, 1]
+    thick = float(np.abs(y).max())
+    if thick < 1e-9:
+        layer = np.zeros(len(v), np.int64)  # single flat sheet
+    else:
+        eps = 0.25 * thick
+        # sewn (y ~ 0) vertices live in the front layer (0)
+        layer = np.where(y < -eps, 1, 0).astype(np.int64)
+    key = (layer << 40) | (r << 20) | c
+    if len(np.unique(key)) != len(v):
+        return None  # slot collision -> not a clean 2-layer lattice
+    return r, c, layer
+
+
+def _normalize_offset(dl, dy, dx):
+    """Canonical direction for an edge expressed in (dlayer, drow, dcol):
+    base at the lexicographically smaller endpoint.  Returns (flip, key)."""
+    if (dl, dy, dx) < (0, 0, 0):
+        return True, (-dl, -dy, -dx)
+    return False, (dl, dy, dx)
+
+
+def _layered_edge_classes(verts, per_class_edges, stiffness):
+    """Group every mesh edge by its (dlayer, drow, dcol) lattice offset.
+    Returns (layout, {(dl,dy,dx): (base_vert_ids, other_vert_ids, stiff)})
+    or None when the mesh is not layered-lattice representable."""
+    layout = _layered_layout(verts, per_class_edges[0])
+    if layout is None:
+        return None
+    r, c, layer = layout
+    groups = {}
+    for cls, edges in enumerate(per_class_edges):
+        edges = np.asarray(edges, np.int64).reshape(-1, 2)
+        if not len(edges):
+            continue
+        a, b = edges[:, 0], edges[:, 1]
+        dl = layer[b] - layer[a]
+        dy = r[b] - r[a]
+        dx = c[b] - c[a]
+        for i in range(len(edges)):
+            flip, key = _normalize_offset(int(dl[i]), int(dy[i]), int(dx[i]))
+            base, other = (b[i], a[i]) if flip else (a[i], b[i])
+            groups.setdefault(key, []).append(
+                (int(base), int(other), float(stiffness[cls])))
+    return layout, groups
+
+
+def compute_layered_spec(task_arrays, round_to=8,
+                         max_offset_classes=40) -> "LayeredSpec | None":
+    """Build the static LayeredSpec covering a list of task mesh-array dicts
+    (keys mesh_verts / mesh_*_edges / mesh_faces).  None when any task is
+    not layered-representable or the offset-class union is too wide (cost is
+    linear in classes; an irregular mesh explodes the union)."""
+    rmax = cmax = vmax = tmax = 0
+    union = set()
+    for t in task_arrays:
+        verts = np.asarray(t["mesh_verts"], np.float64).reshape(-1, 3)
+        per_class = [np.asarray(t[k], np.int64).reshape(-1, 2) for k in
+                     ("mesh_stretch_edges", "mesh_bend_edges",
+                      "mesh_shear_edges")]
+        out = _layered_edge_classes(verts, per_class, (1.0, 1.0, 1.0))
+        if out is None:
+            return None
+        (r, c, _layer), groups = out
+        rmax = max(rmax, int(r.max()))
+        cmax = max(cmax, int(c.max()))
+        vmax = max(vmax, len(verts))
+        tmax = max(tmax, np.asarray(t["mesh_faces"]).size // 3)
+        union |= set(groups)
+    if not union or len(union) > max_offset_classes:
+        return None
+    H2 = rmax + 3  # >= 2 guard rows (bend shifts reach dy=2)
+    offsets = tuple(sorted(
+        (dl * H2 + dy, dx) for dl, dy, dx in union))
+
+    def _up(v, m):
+        return int((v + m - 1) // m * m)
+
+    return LayeredSpec(
+        H=_up(H2 + rmax + 1, round_to),
+        W=_up(cmax + 1, round_to),
+        H2=H2,
+        offsets=offsets,
+        vert_capacity=_up(vmax, 256),
+        tri_capacity=_up(tmax, 256),
+    )
+
+
+def build_layered_topology(
+    rest_positions: np.ndarray,
+    stretch_edges: np.ndarray,
+    bend_edges: np.ndarray,
+    shear_edges: np.ndarray,
+    faces: np.ndarray,
+    stiffness,
+    spec: LayeredSpec,
+) -> LayeredGridTopology:
+    """Express a 2-layer lattice mesh as a LayeredGridTopology under `spec`.
+
+    Raises ValueError when the mesh does not fit the spec (off-lattice
+    vertices, unknown offset class, slot conflict) — callers building from a
+    task FILE should derive the spec from the same file (tasks.
+    detect_layered_spec), which guarantees fit; the checks make silent
+    physics corruption impossible."""
+    verts = np.asarray(rest_positions, np.float64).reshape(-1, 3)
+    n = len(verts)
+    per_class = [np.asarray(e, np.int64).reshape(-1, 2) for e in
+                 (stretch_edges, bend_edges, shear_edges)]
+    out = _layered_edge_classes(verts, per_class, stiffness)
+    if out is None:
+        raise ValueError("mesh is not layered-lattice representable")
+    (r, c, layer), groups = out
+    H, W, H2 = spec.H, spec.W, spec.H2
+    if int(r.max()) >= H2 - 2 or int(c.max()) >= W:
+        raise ValueError("mesh exceeds LayeredSpec lattice extent")
+    off_index = {o: k for k, o in enumerate(spec.offsets)}
+    K = len(spec.offsets)
+
+    row = r + layer * H2  # lattice row per vertex
+    slot = row * W + c
+
+    rest_arr = np.zeros((K, H, W), np.float32)
+    stiff_arr = np.zeros((K, H, W), np.float32)
+    count = np.zeros((H, W), np.float32)
+    for (dl, dy, dx), items in groups.items():
+        key = (dl * H2 + dy, dx)
+        if key not in off_index:
+            raise ValueError(f"offset {key} not in LayeredSpec.offsets")
+        k = off_index[key]
+        base = np.array([it[0] for it in items], np.int64)
+        other = np.array([it[1] for it in items], np.int64)
+        stf = np.array([it[2] for it in items], np.float32)
+        br, bc = row[base], c[base]
+        if np.any(stiff_arr[k, br, bc] != 0.0):
+            raise ValueError("duplicate edge at one (offset, slot)")
+        rest_arr[k, br, bc] = np.linalg.norm(
+            verts[base] - verts[other], axis=1).astype(np.float32)
+        stiff_arr[k, br, bc] = stf
+        np.add.at(count, (br, bc), 1.0)
+        np.add.at(count, (row[other], c[other]), 1.0)
+
+    active = np.zeros((H, W), bool)
+    active[row, c] = True
+    grid_src = np.zeros(H * W, np.int32)
+    grid_src[slot] = np.arange(n, dtype=np.int32)
+    rest_pad = np.full((H * W, 3), 1e6, np.float32)
+    rest_pad[slot] = verts.astype(np.float32)
+
+    mesh_slot = np.zeros(spec.vert_capacity, np.int32)
+    if n > spec.vert_capacity:
+        raise ValueError("mesh exceeds LayeredSpec.vert_capacity")
+    mesh_slot[:n] = slot
+
+    faces = np.asarray(faces, np.int64).reshape(-1, 3)
+    nt = len(faces)
+    if nt > spec.tri_capacity:
+        raise ValueError("mesh exceeds LayeredSpec.tri_capacity")
+    tri_slots = slot[faces]  # (T, 3) lattice slots
+    tri_pad = np.zeros((spec.tri_capacity - nt, 3), np.int64)
+    tri = np.concatenate([tri_slots, tri_pad])
+    tmask = np.arange(spec.tri_capacity) < nt
+
+    return LayeredGridTopology(
+        rest=jnp.asarray(rest_arr),
+        stiff=jnp.asarray(stiff_arr),
+        count=jnp.asarray(count),
+        active=jnp.asarray(active),
+        rest_positions=jnp.asarray(rest_pad),
+        triangles=jnp.asarray(tri, jnp.int32),
+        tri_mask=jnp.asarray(tmask),
+        mesh_slot=jnp.asarray(mesh_slot),
+        grid_src=jnp.asarray(grid_src),
+        num_verts=jnp.int32(n),
+        offsets=spec.offsets,
+        H=H,
+        W=W,
+        vert_capacity=spec.vert_capacity,
     )
 
 

@@ -95,6 +95,7 @@ class BatchSimEnv:
         iterations: int = 30,
         max_grid_dim: int = 104,
         mesh_caps=None,
+        layered_spec=None,
         sharding=None,
         domain_randomization: bool = True,
         seed: int = 0,
@@ -138,6 +139,19 @@ class BatchSimEnv:
             substeps=substeps, iterations=iterations)
         self.max_grid_dim = max_grid_dim
         self.mesh_caps = mesh_caps
+        # layered (stencil) shirt path: grid-speed, so no mesh chunk clamp
+        self.layered_spec = layered_spec
+        if layered_spec is not None:
+            assert mesh_caps is None, \
+                "pass either mesh_caps (gather path) or layered_spec"
+            if self.sim_kw["contact_mode"] != "sort":
+                # the layered solver implements the production sort-based
+                # contact group only (same as the pallas grid path)
+                warnings.warn(
+                    "layered topology: contact_mode "
+                    f"{self.sim_kw['contact_mode']!r} -> 'sort' (the only "
+                    "contact group the layered shirt path implements)")
+                self.sim_kw["contact_mode"] = "sort"
         self.prim_cfg = PrimitiveConfig(
             grasp_height=grasp_height,
             fling_speed=fling_speed,
@@ -293,7 +307,8 @@ class BatchSimEnv:
         static mesh_caps bucket so their pytrees stack)."""
         scene = set_scene(task.get_config(), task.get_state(),
                           max_grid_dim=self.max_grid_dim,
-                          mesh_caps=self.mesh_caps)
+                          mesh_caps=self.mesh_caps,
+                          layered_spec=self.layered_spec)
         state = scene.state.replace(picker_pos=jnp.asarray(PARK_PICKERS))
         return scene.topo, state
 

@@ -18,8 +18,11 @@ import numpy as np
 from flingbot_tpu.engine.state import ClothState, MAX_GRID_DIM
 from flingbot_tpu.engine.topology import (
     GridTopology,
+    LayeredGridTopology,
+    LayeredSpec,
     MeshTopology,
     build_grid_topology,
+    build_layered_topology,
     build_mesh_topology,
     grid_positions,
 )
@@ -43,7 +46,7 @@ MESH_DEGREE_CAPACITY = 24
 class Scene:
     """A constructed scene: topology + initial state + source config."""
 
-    topo: Union[GridTopology, MeshTopology]
+    topo: Union[GridTopology, MeshTopology, LayeredGridTopology]
     state: ClothState
     config: Dict[str, Any]
 
@@ -57,6 +60,7 @@ def make_scene(
     capacity: "int | None" = None,
     max_grid_dim: int = MAX_GRID_DIM,
     mesh_caps: "tuple[int, int, int] | None" = None,
+    layered_spec: "LayeredSpec | None" = None,
 ) -> Scene:
     """Build topology + fresh state from a reference-style config dict
     (keys as produced by Task.get_config / flex_utils.get_default_config).
@@ -70,6 +74,33 @@ def make_scene(
     stiffness = np.asarray(config.get("cloth_stiff", (0.8, 1.0, 0.9)), np.float32)
     # reference order is (stretch, bend, shear) (flex_utils.py:281)
     stiff3 = (float(stiffness[0]), float(stiffness[1]), float(stiffness[2]))
+
+    if mesh_verts.size > 0 and layered_spec is not None:
+        # layered-lattice shirt fast path (grid-speed stencil solve; see
+        # LayeredGridTopology) — the spec comes from tasks.detect_layered_spec
+        # over the task FILE, so every task in a batch shares the bucket
+        verts = mesh_verts.reshape(-1, 3).astype(np.float32)
+        n = verts.shape[0]
+        topo = build_layered_topology(
+            verts,
+            np.asarray(config["mesh_stretch_edges"], np.int64).reshape(-1, 2),
+            np.asarray(config["mesh_bend_edges"], np.int64).reshape(-1, 2),
+            np.asarray(config["mesh_shear_edges"], np.int64).reshape(-1, 2),
+            np.asarray(config["mesh_faces"], np.int64).reshape(-1, 3),
+            stiffness=stiff3,
+            spec=layered_spec,
+        )
+        slot = np.asarray(topo.mesh_slot)[:n]
+        cloth_pos = np.asarray(config.get("cloth_pos", (0, 0, 0)), np.float32)
+        hw = layered_spec.H * layered_spec.W
+        pos = np.zeros((hw, 3), np.float32)
+        pos[slot] = verts + np.array(
+            [cloth_pos[0], -cloth_pos[1], cloth_pos[2]], np.float32)
+        inv = np.zeros(hw, np.float32)
+        inv[slot] = n / cloth_mass
+        state = ClothState.create(pos, inv, capacity=hw)
+        state = state.replace(active=topo.active.reshape(-1))
+        return Scene(topo=topo, state=state, config=dict(config))
 
     if mesh_verts.size > 0:
         vcap, ecap, tcap = mesh_caps or (
@@ -121,11 +152,19 @@ def apply_state(scene: Scene, state_dict: Dict[str, Any]) -> Scene:
     n = pp.shape[0]
     pos = np.array(st.positions)
     im = np.array(st.inv_mass)
-    pos[:n] = pp[:, :3]
-    im[:n] = pp[:, 3]
     vel = np.array(st.velocities)
     pv = np.asarray(state_dict["particle_vel"], np.float32).reshape(-1, 3)
-    vel[: pv.shape[0]] = pv
+    if isinstance(scene.topo, LayeredGridTopology):
+        # saved states are in MESH vertex order (the task-file contract,
+        # tasks.py:267-284) — scatter through the lattice mapping
+        slot = np.asarray(scene.topo.mesh_slot)[:n]
+        pos[slot] = pp[:, :3]
+        im[slot] = pp[:, 3]
+        vel[slot[: pv.shape[0]]] = pv
+    else:
+        pos[:n] = pp[:, :3]
+        im[:n] = pp[:, 3]
+        vel[: pv.shape[0]] = pv
 
     picker_pos = np.array(st.picker_pos)
     shape_pos = np.asarray(state_dict.get("shape_pos", ()), np.float32).reshape(-1)
@@ -150,10 +189,11 @@ def set_scene(
     capacity: "int | None" = None,
     max_grid_dim: int = MAX_GRID_DIM,
     mesh_caps: "tuple[int, int, int] | None" = None,
+    layered_spec: "LayeredSpec | None" = None,
 ) -> Scene:
     """set_scene parity (flex_utils.py:320-355): build + optionally restore."""
     scene = make_scene(config, capacity=capacity, max_grid_dim=max_grid_dim,
-                       mesh_caps=mesh_caps)
+                       mesh_caps=mesh_caps, layered_spec=layered_spec)
     if state is not None:
         scene = apply_state(scene, state)
     return scene

@@ -223,6 +223,39 @@ def detect_mesh_caps(hdf5_path: str):
             min(_roundup(max_t, 256), _scene.MESH_TRI_CAPACITY))
 
 
+def detect_layered_spec(hdf5_path: str):
+    """LayeredSpec for a mesh (shirt) task file whose every garment is a
+    2-layer lattice (the procedural shirts of env/shirts.py are; arbitrary
+    Cloth3D geometry may not be) — None for grid files or non-lattice
+    meshes.  The layered path runs the stencil spring solve (grid speed)
+    instead of the mesh gather path; see engine.topology.LayeredGridTopology."""
+    from flingbot_tpu.engine.topology import compute_layered_spec
+
+    names = ("mesh_verts", "mesh_stretch_edges", "mesh_bend_edges",
+             "mesh_shear_edges", "mesh_faces")
+    tasks = []
+    with h5py.File(hdf5_path, "r") as f:
+        for k in f:
+            g = f[k]
+            if "mesh_verts" not in g or np.asarray(g["mesh_verts"]).size == 0:
+                return None
+            tasks.append({n: np.asarray(g[n]) for n in names})
+    if not tasks:
+        return None
+    return compute_layered_spec(tasks)
+
+
+def detect_topology_buckets(hdf5_path: str) -> Dict:
+    """One-stop bucket detection for env construction: kwargs for
+    BatchSimEnv/set_scene.  Grid files -> both None; lattice shirt files ->
+    layered_spec (the grid-speed stencil path); other meshes -> mesh_caps
+    (the generic gather path)."""
+    spec = detect_layered_spec(hdf5_path)
+    if spec is not None:
+        return {"mesh_caps": None, "layered_spec": spec}
+    return {"mesh_caps": detect_mesh_caps(hdf5_path), "layered_spec": None}
+
+
 def write_task(path: str, task_dict: Dict) -> str:
     """Append one task to an HDF5 file under a sha1 key — the exact schema
     of the reference's generator (tasks.py:305-320)."""

@@ -101,14 +101,14 @@ def main():
     if not os.path.exists(args.log + "/args.pkl"):
         pickle.dump(vars(args), open(args.log + "/args.pkl", "wb"))
 
-    from flingbot_tpu.env.tasks import detect_mesh_caps
+    from flingbot_tpu.env.tasks import detect_topology_buckets
 
     task_loader = TaskLoader(args.tasks, repeat=not args.eval)
     env = BatchSimEnv(
         get_task_fn=task_loader.get_next_task,
         replay_buffer_path=dataset_path,
         self_collision=not args.no_self_collision,
-        mesh_caps=detect_mesh_caps(args.tasks),
+        **detect_topology_buckets(args.tasks),
         **vars(args),
     )
 

@@ -67,19 +67,21 @@ def run_eval(name: str, tasks: str, policy: str, load: str | None,
              episodes: int, num_envs: int = 16, max_grid_dim: int = 104,
              steps: int = 3, seed: int = 0, task_offset: int = 0) -> dict:
     from flingbot_tpu.env.batch_env import BatchSimEnv
-    from flingbot_tpu.env.tasks import TaskLoader, detect_mesh_caps
+    from flingbot_tpu.env.tasks import TaskLoader, detect_topology_buckets
     from flingbot_tpu.utils.stats import collect_stats
 
     replay = tempfile.mktemp(suffix=".hdf5")
     loader = TaskLoader(tasks, repeat=True)
     for _ in range(task_offset):  # small-n shirt rows: skip served tasks
         loader.get_next_task()
+    # shirt sets: the layered stencil path (grid speed) when the garments
+    # are lattice meshes, else the generic mesh gather path
     env = BatchSimEnv(
         get_task_fn=loader.get_next_task, replay_buffer_path=replay,
         num_envs=num_envs, obs_dim=64, num_rotations=ROTATIONS,
         scale_factors=list(SCALES), action_primitives=["fling"],
         episode_length=steps, render_dim=256, max_grid_dim=max_grid_dim,
-        mesh_caps=detect_mesh_caps(tasks), domain_randomization=True,
+        **detect_topology_buckets(tasks), domain_randomization=True,
         seed=seed, **CFG)
     net = get_policy(load) if policy == "ckpt" else None
 

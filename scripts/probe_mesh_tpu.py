@@ -42,6 +42,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--tasks", default="data_r3/shirt_eval_16.hdf5")
     p.add_argument("--backend", default="pallas")
+    p.add_argument("--layout", default="mesh", choices=("mesh", "layered"),
+                   help="'layered' = the stencil shirt path "
+                        "(LayeredGridTopology) instead of the gather path")
     p.add_argument("--limit_s", type=float, default=25.0)
     p.add_argument("--trace_only", action="store_true",
                    help="jax.eval_shape the probe program (CPU smoke test; "
@@ -51,12 +54,22 @@ def main():
     from flingbot_tpu.engine.state import SolverParams
     from flingbot_tpu.engine.solver import step as solver_step
     from flingbot_tpu.env.scene import set_scene
-    from flingbot_tpu.env.tasks import TaskLoader, detect_mesh_caps
+    from flingbot_tpu.env.tasks import (TaskLoader, detect_layered_spec,
+                                        detect_mesh_caps)
 
     loader = TaskLoader(args.tasks)
     task = loader.get_next_task()
-    caps = detect_mesh_caps(args.tasks)
-    scene = set_scene(task.get_config(), task.get_state(), mesh_caps=caps)
+    if args.layout == "layered":
+        spec = detect_layered_spec(args.tasks)
+        assert spec is not None, "task file is not layered-representable"
+        print(f"[probe_mesh] layered spec: H={spec.H} W={spec.W} "
+              f"K={len(spec.offsets)}", flush=True)
+        scene = set_scene(task.get_config(), task.get_state(),
+                          layered_spec=spec)
+    else:
+        caps = detect_mesh_caps(args.tasks)
+        scene = set_scene(task.get_config(), task.get_state(),
+                          mesh_caps=caps)
     params = SolverParams()
     # production mesh config (eval_all_r3.sh): chebyshev springs 4x16,
     # sorted-window contacts 4 iters / window 12 / every 2nd substep
