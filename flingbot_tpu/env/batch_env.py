@@ -93,6 +93,7 @@ class BatchSimEnv:
         backend: str = "xla",
         substeps: int = 4,
         iterations: int = 30,
+        aero: bool = False,
         max_grid_dim: int = 104,
         mesh_caps=None,
         layered_spec=None,
@@ -104,6 +105,7 @@ class BatchSimEnv:
         obs_chunk: Optional[int] = None,
         exec_mode: str = "chunked",
         chunk_steps: int = 64,
+        solver_overrides=None,
         **_unused,
     ):
         self.get_task_fn = get_task_fn
@@ -136,7 +138,7 @@ class BatchSimEnv:
             contact_every=contact_every,
             contact_iterations=contact_iterations,
             contact_window=contact_window, backend=backend,
-            substeps=substeps, iterations=iterations)
+            substeps=substeps, iterations=iterations, aero=aero)
         self.max_grid_dim = max_grid_dim
         self.mesh_caps = mesh_caps
         # layered (stencil) shirt path: grid-speed, so no mesh chunk clamp
@@ -159,6 +161,23 @@ class BatchSimEnv:
             stretchdrag_dist=stretchdrag_dist,
         )
         self.params = SolverParams()
+        if solver_overrides:
+            if isinstance(solver_overrides, str):
+                import json as _json
+
+                solver_overrides = _json.loads(solver_overrides)
+            self.params = self.params.replace(
+                **{k: jnp.float32(v) for k, v in solver_overrides.items()})
+            if not aero and any(
+                    float(solver_overrides.get(k, 0.0)) != 0.0
+                    for k in ("drag", "lift")):
+                # drag/lift are runtime params, but the aero pass itself is
+                # a static flag — silently leaving it off would make the
+                # overrides no-ops (the 2026-08-19 knob-sweep bug: lift
+                # rows measured base physics)
+                warnings.warn("solver_overrides set drag/lift but "
+                              "aero=False; enabling the aero pass")
+                self.sim_kw["aero"] = True
         self.sharding = sharding
         # Two executions of the device step:
         #   * "chunked" (default): host-driven chunks of <= chunk_steps sim

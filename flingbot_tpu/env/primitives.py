@@ -383,6 +383,7 @@ def _make_body(
     backend: str,
     record_frames: int,
     record_every: int,
+    aero: bool = False,
 ):
     """The program-interpreter loop body (shared by the fused while_loop
     path and the host-chunked path)."""
@@ -543,7 +544,7 @@ def _make_body(
                 contact_mode=contact_mode,
                 contact_every=contact_every,
                 contact_iterations=contact_iterations,
-                contact_window=contact_window, backend=backend)
+                contact_window=contact_window, backend=backend, aero=aero)
 
         st = jax.lax.cond(is_jump_kind, lambda s: s, do_sim, st)
 
@@ -623,6 +624,7 @@ def run_program(
     backend: str = "xla",
     record_frames: int = 0,
     record_every: int = 8,
+    aero: bool = False,
 ):
     """Execute a primitive program as ONE while_loop; returns
     (state, terminate_flag) plus, when record_frames > 0, (frames
@@ -637,7 +639,7 @@ def run_program(
         contact_iterations=contact_iterations,
         contact_window=contact_window,
         backend=backend, record_frames=record_frames,
-        record_every=record_every)
+        record_every=record_every, aero=aero)
 
     def cond(c: _Carry):
         return (c.pc < num_instr) & (c.total_steps < max_steps)
@@ -669,6 +671,7 @@ def program_chunk(
     backend: str = "xla",
     record_frames: int = 0,
     record_every: int = 8,
+    aero: bool = False,
 ):
     """Run at most `chunk_steps` interpreter iterations of `program`.
 
@@ -685,7 +688,7 @@ def program_chunk(
         contact_iterations=contact_iterations,
         contact_window=contact_window,
         backend=backend, record_frames=record_frames,
-        record_every=record_every)
+        record_every=record_every, aero=aero)
 
     def base_cond(c: _Carry):
         return (c.pc < num_instr) & (c.total_steps < max_steps)

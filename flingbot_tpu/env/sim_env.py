@@ -53,7 +53,7 @@ NO_MOVE_EPS = 5e-2  # postaction early-exit threshold (simEnv.py:475-477)
 def _stabilize(state, topo, params, *, substeps, iterations, self_collision,
                spring_mode, contact_mode="block", contact_every=1,
                contact_iterations=8, contact_window=16,
-               backend="xla",
+               backend="xla", aero=False,
                max_steps=STABLE_MAX_STEPS, tol=STABLE_TOL):
     """wait_until_stable as a bounded while_loop (flex_utils.py:430-441)."""
 
@@ -72,7 +72,8 @@ def _stabilize(state, topo, params, *, substeps, iterations, self_collision,
                          spring_mode=spring_mode, contact_mode=contact_mode,
                          contact_every=contact_every,
                          contact_iterations=contact_iterations,
-                         contact_window=contact_window, backend=backend)
+                         contact_window=contact_window, backend=backend,
+                         aero=aero)
         return st, k + 1
 
     state, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
@@ -85,7 +86,7 @@ def _stabilize(state, topo, params, *, substeps, iterations, self_collision,
                      "pix_drag_dist", "pix_place_dist", "substeps",
                      "iterations", "self_collision", "spring_mode",
                      "contact_mode", "contact_every", "contact_iterations",
-                     "contact_window", "backend",
+                     "contact_window", "backend", "aero",
                      "record_frames", "record_every"),
 )
 def step_core(
@@ -111,6 +112,7 @@ def step_core(
     backend: str = "xla",
     record_frames: int = 0,
     record_every: int = 8,
+    aero: bool = False,
 ):
     """Device-side env step: action -> primitive -> stabilize -> reward.
 
@@ -129,7 +131,8 @@ def step_core(
                   contact_mode=contact_mode,
                   contact_every=contact_every,
                   contact_iterations=contact_iterations,
-                  contact_window=contact_window, backend=backend)
+                  contact_window=contact_window, backend=backend,
+                  aero=aero)
 
     def make_branch(prim_name):
         def branch(st):

@@ -119,6 +119,12 @@ def config_parser(parser: ArgumentParser = None) -> ArgumentParser:
                              "contacts 8/16/every substep — "
                              "softgym_cloth.h:154-155); overrides the "
                              "production solver knobs")
+    parser.add_argument("--solver_overrides", type=str, default=None,
+                        help="JSON dict of SolverParams leaf overrides, "
+                             'e.g. \'{"damping": 0.0, "lift": 0.05}\' — '
+                             "runtime values (no recompile), the hook the "
+                             "fling-knob sweep winners are trained/evaled "
+                             "under (scripts/fling_knob_sweep.py)")
     parser.add_argument("--no_self_collision", action="store_true",
                         default=False)
     parser.add_argument("--max_grid_dim", type=int, default=104)

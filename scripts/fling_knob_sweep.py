@@ -101,10 +101,12 @@ def run_config(name, ctor_over, param_over, args, base_tasks, max_cov):
         scale_factors=[1.0, 1.25, 1.5, 1.75, 2.0, 2.25, 2.5, 2.75],
         action_primitives=["fling"], episode_length=6,
         mesh_caps=detect_mesh_caps(args.tasks), domain_randomization=True,
-        seed=args.seed, **env_cfg)
-    if param_over:
-        env.params = env.params.replace(
-            **{k: jnp.float32(v) for k, v in param_over.items()})
+        seed=args.seed,
+        # via the ctor (not a post-hoc params.replace) so nonzero drag/lift
+        # auto-enable the aero pass — without it the lift configs silently
+        # measure base physics (the 2026-08-19 sweep-window bug)
+        solver_overrides=param_over or None,
+        **env_cfg)
 
     T = len(base_tasks)
     rng = np.random.default_rng(args.seed)

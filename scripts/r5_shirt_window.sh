@@ -27,7 +27,7 @@ sleep 150
 echo "=== layered shirt probe ($(date -u), $(left)s left)"
 timeout 900 python scripts/probe_mesh_tpu.py --layout layered \
   --backend xla 2>&1 | grep -v WARNING | tee runs/round5/layered_probe.json
-sleep 30
+sleep 150
 
 if [ "$(left)" -gt 2400 ]; then
   echo "=== shirt-16 full pair ($(date -u), $(left)s left)"
@@ -35,7 +35,7 @@ if [ "$(left)" -gt 2400 ]; then
     python scripts/eval_session_r3.py --ckpt "$CKPT" --out "$OUT" \
     --budget 2800 --only "shirt/ckpt,shirt/heuristic" \
     2>&1 | grep -v WARNING
-  sleep 30
+  sleep 150
 fi
 
 if [ "$(left)" -gt 2400 ]; then
@@ -45,7 +45,7 @@ if [ "$(left)" -gt 2400 ]; then
     --budget $(( $(left) - 1000 )) \
     --only "easy/heuristic,easy/ckpt,large/heuristic,large/ckpt" \
     2>&1 | grep -v WARNING
-  sleep 30
+  sleep 150
 fi
 
 if [ "$(left)" -gt 700 ]; then
