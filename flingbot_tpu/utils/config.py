@@ -67,6 +67,10 @@ def config_parser(parser: ArgumentParser = None) -> ArgumentParser:
                              "color in the renderer (reference: "
                              "render_rgbd.py:10-54)")
     parser.add_argument("--fixed_fling_height", type=float, default=-1)
+    parser.add_argument("--fling_speed", type=float, default=6e-3,
+                        help="picker speed during the fast fling strokes, "
+                             "m/sim-step (simEnv.py:55); a fling-knob sweep "
+                             "axis (scripts/fling_knob_sweep.py)")
     # Network
     parser.add_argument("--depth_only", action="store_true", default=False)
     parser.add_argument("--rgb_only", action=BooleanOptionalAction,
