@@ -65,7 +65,8 @@ def get_policy(load: str):
 
 def run_eval(name: str, tasks: str, policy: str, load: str | None,
              episodes: int, num_envs: int = 16, max_grid_dim: int = 104,
-             steps: int = 3, seed: int = 0, task_offset: int = 0) -> dict:
+             steps: int = 3, seed: int = 0, task_offset: int = 0,
+             solver_overrides: "dict | None" = None) -> dict:
     from flingbot_tpu.env.batch_env import BatchSimEnv
     from flingbot_tpu.env.tasks import TaskLoader, detect_topology_buckets
     from flingbot_tpu.utils.stats import collect_stats
@@ -82,7 +83,7 @@ def run_eval(name: str, tasks: str, policy: str, load: str | None,
         scale_factors=list(SCALES), action_primitives=["fling"],
         episode_length=steps, render_dim=256, max_grid_dim=max_grid_dim,
         **detect_topology_buckets(tasks), domain_randomization=True,
-        seed=seed, **CFG)
+        seed=seed, solver_overrides=solver_overrides, **CFG)
     net = get_policy(load) if policy == "ckpt" else None
 
     t0 = time.time()
@@ -100,6 +101,8 @@ def run_eval(name: str, tasks: str, policy: str, load: str | None,
     out = {"job": name, "tasks": os.path.basename(tasks), "policy": policy,
            "load": load, "episodes": env.episodes_done, "seed": seed,
            "seconds": round(time.time() - t0, 1)}
+    if solver_overrides:
+        out["solver_overrides"] = solver_overrides
     for k, v in sorted(stats.items()):
         if any(k.startswith(p) and k.endswith(s)
                for p in ("final_coverage/", "init_coverage/",
@@ -157,6 +160,13 @@ def main():
              load=None, episodes=16),
         dict(name="shirt/ckpt", tasks=shirt, policy="ckpt", load=ck,
              episodes=16),
+        # capability preview under the round-5 fling-knob sweep winner
+        # (dynamic_friction 0.25: level-1 oracle 0.703 vs 0.598 base) —
+        # heuristic needs no retraining, so this is the first held-out
+        # best-cov@3 number under the improved physics
+        dict(name="hard/heuristic-fric25", tasks=hard, policy="heuristic",
+             load=None, episodes=100, num_envs=20,
+             solver_overrides={"dynamic_friction": 0.25}),
         # remaining sets
         dict(name="easy/heuristic", tasks=easy, policy="heuristic",
              load=None, episodes=64),

@@ -38,6 +38,17 @@ if [ "$(left)" -gt 2400 ]; then
   sleep 150
 fi
 
+if [ "$(left)" -gt 1800 ]; then
+  # the fric.25 capability preview outranks the easy/large fill-ins: it is
+  # the first held-out number under the sweep-winner physics
+  echo "=== fric25 heuristic preview ($(date -u), $(left)s left)"
+  timeout $(( $(left) - 900 )) \
+    python scripts/eval_session_r3.py --ckpt "$CKPT" --out "$OUT" \
+    --budget $(( $(left) - 1100 )) \
+    --only "hard/heuristic-fric25" 2>&1 | grep -v WARNING
+  sleep 150
+fi
+
 if [ "$(left)" -gt 2400 ]; then
   echo "=== easy/large full pairs ($(date -u), $(left)s left)"
   timeout $(( $(left) - 900 )) \
