@@ -71,6 +71,18 @@ CONFIGS = {
     "iters30": ({"iterations": 30}, {}),
     # combo of whatever wins is round-5 follow-up, e.g.:
     "speed2x+damping.25": ({"fling_speed": 1.2e-2}, {"damping": 0.25}),
+    # friction refinement around the first decisive winner (fric.25:
+    # level-1 oracle 0.703 vs base 0.598, 2026-08-19) + stacking combos
+    "fric.1": ({}, {"dynamic_friction": 0.1}),
+    "fric.4": ({}, {"dynamic_friction": 0.4}),
+    "fric.25+damping0": ({}, {"dynamic_friction": 0.25, "damping": 0.0}),
+    "fric.25+lift.15": ({}, {"dynamic_friction": 0.25,
+                             "drag": 0.06, "lift": 0.15}),
+    "fric.25+speed2x": ({"fling_speed": 1.2e-2},
+                        {"dynamic_friction": 0.25}),
+    # iters30 alone scored 0.639 (+0.04) — check it stacks with friction
+    # (costs 1.8x solver time; only worth it if the oracle gain holds)
+    "fric.25+iters30": ({"iterations": 30}, {"dynamic_friction": 0.25}),
 }
 
 

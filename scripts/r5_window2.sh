@@ -44,8 +44,11 @@ echo "=== best level-1 config: '$BEST' ($(left)s left)"
 if [ -n "$BEST" ] && [ "$BEST" != "base" ] && [ "$(left)" -gt 5200 ]; then
   echo "$BEST" > runs/round5/knob_winner.txt
   echo "=== 3-level oracle on '$BEST' ($(date -u))"
+  # per_config_s must be well under (end - now) or the deadline guard
+  # skips the only config before it starts (bit the 2026-08-19 window:
+  # guard compares remaining time to per_config_s AFTER startup costs)
   timeout 2400 python scripts/fling_knob_sweep.py \
-    --configs "$BEST" --levels 3 --per_config_s 2300 \
+    --configs "$BEST" --levels 3 --per_config_s 1800 \
     --end $(( $(date +%s) + 2300 )) \
     --out runs/round5/knob_winner_l3.jsonl 2>&1 | grep -v WARNING
   sleep 150
