@@ -55,11 +55,6 @@ def _tree_stack(items):
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *items)
 
 
-def _tree_set(batch, idx: int, item):
-    return jax.tree_util.tree_map(
-        lambda b, x: b.at[idx].set(x), batch, item)
-
-
 class BatchSimEnv:
     """A batch of grid-cloth environments stepping in lockstep on device."""
 
@@ -461,6 +456,41 @@ class BatchSimEnv:
         return np.concatenate(
             [np.transpose(rgb, (2, 0, 1)), d[None]], axis=0).astype(np.float32)
 
+    def _observe_subset(self, idx_list):
+        """Recompute observations for a subset of env slots and scatter them
+        into the existing obs pytree (+ host rgb/depth mirrors).
+
+        Reloads touch only the finished slots, but `_observe()` re-renders
+        the whole batch — at 256 envs that is a second ~22-26 s full 96-view
+        warp per round (round-4 [env.perf] buckets).  The subset is padded
+        to the obs-chunk width with repeats of the last index so the calls
+        reuse the exact compiled shapes of the chunked full-batch path
+        (duplicate scatter indices write identical values).  Values are
+        bit-identical to a full `_observe()`: the render is deterministic
+        per (state, dr_key) and untouched slots keep their entries."""
+        C = min(self.obs_chunk, self.num_envs)
+        pad = (-len(idx_list)) % C
+        idx = np.asarray(list(idx_list) + [idx_list[-1]] * pad, np.int32)
+        rot = jnp.asarray(self.rotations)
+        sc = jnp.asarray(self.scale_factors)
+        outs = []
+        for s in range(0, len(idx), C):
+            ii = jnp.asarray(idx[s:s + C])
+            pos = self.state.positions[ii]
+            act = self.state.active[ii]
+            if self.domain_randomization:
+                outs.append(self._vm_observe(
+                    pos, act, rot, sc, self._dr_keys[ii]))
+            else:
+                outs.append(self._vm_observe(pos, act, rot, sc))
+        sub = outs[0] if len(outs) == 1 else jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+        jidx = jnp.asarray(idx)
+        self.obs = jax.tree_util.tree_map(
+            lambda b, x: b.at[jidx].set(x), self.obs, sub)
+        self._rgb_np[idx] = np.asarray(sub.rgb)
+        self._depth_np[idx] = np.asarray(sub.depth)
+
     def _step_device_chunked(self, vm):
         """Chunked-execution device step over env_chunk slices: begin ->
         bounded program chunks until every env is done -> finish.  Output
@@ -588,30 +618,42 @@ class BatchSimEnv:
 
         _pt_replay = time.perf_counter()
         if reload_idx:
+            # batched writeback: one scatter per pytree leaf.  The old
+            # per-env `_tree_set` loop copied the FULL batched pytree once
+            # per reloaded env (48-72 full-batch device copies per round at
+            # 256 envs — a large share of the 75-152 s reload bucket).
+            new_topos, new_states = [], []
             for i in reload_idx:
                 self.tasks[i] = self.get_task_fn()
                 topo, state = self._load_scene(self.tasks[i])
-                self.topo = _tree_set(self.topo, i, topo)
-                self.state = _tree_set(self.state, i, state)
-                if self.domain_randomization:
-                    self._dr_keys = self._dr_keys.at[i].set(
-                        self._fresh_dr_key())
+                new_topos.append(topo)
+                new_states.append(state)
                 self.memories[i] = Memory()
                 self.timesteps[i] = 0
+            jidx = jnp.asarray(np.asarray(reload_idx, np.int32))
+            scatter = lambda b, x: b.at[jidx].set(x)
+            self.topo = jax.tree_util.tree_map(
+                scatter, self.topo, _tree_stack(new_topos))
+            self.state = jax.tree_util.tree_map(
+                scatter, self.state, _tree_stack(new_states))
+            if self.domain_randomization:
+                self._dr_keys = self._dr_keys.at[jidx].set(jnp.stack(
+                    [self._fresh_dr_key() for _ in reload_idx]))
             # settle reloaded slots exactly like reset() does (set_scene +
             # settle on every reset, flex_utils.py:320-355,430-441): run the
             # settle step on the whole batch but keep only reloaded slots
             settled = self._chunked_simple(
                 self._vm_settle, self.state, self.topo)
-            for i in reload_idx:
-                self.state = _tree_set(
-                    self.state, i,
-                    jax.tree_util.tree_map(lambda x: x[i], settled))
+            self.state = jax.tree_util.tree_map(
+                lambda b, s: b.at[jidx].set(s[jidx]), self.state, settled)
             cov = np.asarray(self._chunked_simple(
                 self._vm_coverage, self.state.positions, self.state.active))
             for i in reload_idx:
                 self.init_coverage[i] = float(cov[i])
-            self._observe()
+            # re-render ONLY the reloaded slots (the second full-batch
+            # _observe was the other large reload cost: ~22-26 s/round at
+            # 256 envs)
+            self._observe_subset(reload_idx)
             for i in reload_idx:
                 self.memories[i].add_value(
                     "pretransform_observations", self._pretransform_obs(i))

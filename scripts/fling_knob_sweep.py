@@ -83,6 +83,21 @@ CONFIGS = {
     # iters30 alone scored 0.639 (+0.04) — check it stacks with friction
     # (costs 1.8x solver time; only worth it if the oracle gain holds)
     "fric.25+iters30": ({"iterations": 30}, {"dynamic_friction": 0.25}),
+    # fling height — the last untested round-4 hypothesis class (speed was
+    # a dud, friction decisive); adaptive lift starts at 0.3 and stops as
+    # soon as the cloth clears ground, so a taller fixed stroke is a
+    # genuinely different unfurl regime
+    "flingh.5": ({"fixed_fling_height": 0.5}, {}),
+    "fric.25+flingh.5": ({"fixed_fling_height": 0.5},
+                         {"dynamic_friction": 0.25}),
+    # second refinement: fric.1 hit 0.838 level-1 oracle with 5/8 tasks
+    # >= 0.80 (2026-08-20) — probe below it and stack the small winners
+    "fric.05": ({}, {"dynamic_friction": 0.05}),
+    "fric.15": ({}, {"dynamic_friction": 0.15}),
+    "fric.1+damping0": ({}, {"dynamic_friction": 0.1, "damping": 0.0}),
+    "fric.1+iters30": ({"iterations": 30}, {"dynamic_friction": 0.1}),
+    "fric.1+flingh.5": ({"fixed_fling_height": 0.5},
+                        {"dynamic_friction": 0.1}),
 }
 
 

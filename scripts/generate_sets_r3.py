@@ -36,6 +36,13 @@ SETS = {
               128, 300),
     "train": ("data_r3/rect_train_2048.hdf5", 2048, "hard", 64, 104, 64,
               104, 400),
+    # round-6: a smaller train set that gets COMMITTED (the 2048-task file
+    # is gitignored and did not survive the round-4->6 boundary, costing a
+    # regen; 512 tasks ~= 95 MB commits fine and 1-2k episodes/round reuse
+    # each task only a handful of times).  Same generation protocol/seed
+    # family as `train`.
+    "train512": ("data_r3/rect_train_512.hdf5", 512, "hard", 64, 104, 64,
+                 104, 400),
 }
 
 

@@ -23,6 +23,12 @@ import numpy as np
 
 TARGET = 0.80  # reference README.md:21: >80% coverage within 3 actions
 N_BOOT = 10000
+# shirt sets: the drop protocol sometimes produces near-flat starts (two
+# separated layers can out-cover the recorded flatten area, so init ratios
+# reach 1.07) — episodes that start above this ratio have nothing to
+# unfold and dilute the aggregate; the subset table re-aggregates without
+# them (round-4 STATUS caveat (a))
+CRUMPLED_MAX_INIT = 0.75
 
 
 def load(path: str) -> "OrderedDict[str, dict]":
@@ -98,6 +104,39 @@ def main():
               f"| {fmt(pos)} |")
         if key.startswith("hard/ckpt") and best is not None:
             curve.append((key.split("ckpt")[-1], best, ci))
+
+    # crumpled-subset re-aggregation: episodes starting near-flat
+    # (init ratio > CRUMPLED_MAX_INIT) have nothing to unfold; report the
+    # genuinely-crumpled subset alongside whenever a row contains any.
+    # Distributions are alphabetically episode-ordered in collect_stats, so
+    # index alignment holds whenever the lengths match.
+    sub_lines = []
+    for key, d in rows.items():
+        init_dist = stat(d, "init_coverage/", "distribution")
+        best_dist = stat(d, "best_coverage/", "distribution")
+        ep_dist = stat(d, "episode_delta_coverage/", "distribution")
+        if (not init_dist or not best_dist
+                or len(init_dist) != len(best_dist)):
+            continue
+        init_a = np.asarray(init_dist, np.float64)
+        keep = init_a <= CRUMPLED_MAX_INIT
+        if keep.all() or not keep.any():
+            continue
+        best_a = np.asarray(best_dist, np.float64)[keep]
+        ci = boot_ci(best_a, rng)
+        ep_m = (float(np.mean(np.asarray(ep_dist, np.float64)[keep]))
+                if ep_dist and len(ep_dist) == len(keep) else None)
+        sub_lines.append(
+            f"| {key} | {int(keep.sum())}/{keep.size} "
+            f"| {float(init_a[keep].mean()):.4f} "
+            f"| {float(best_a.mean()):.4f} | {fmt_ci(ci)} | {fmt(ep_m)} |")
+    if sub_lines:
+        print(f"\nCrumpled subset (episodes with init ratio <= "
+              f"{CRUMPLED_MAX_INIT}):")
+        print("| job | eps kept | init cov | best cov@3 | 95% CI | Δcov |")
+        print("|---|---|---|---|---|---|")
+        for line in sub_lines:
+            print(line)
 
     # policy-vs-heuristic per set, with a CI on the difference
     by_set: dict = {}
