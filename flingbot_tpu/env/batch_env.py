@@ -446,9 +446,11 @@ class BatchSimEnv:
             self.obs = jax.tree_util.tree_map(
                 lambda *xs: jnp.concatenate(xs, axis=0), *outs)
         # bulk host copies for replay logging (one transfer per step, not
-        # one per env)
-        self._rgb_np = np.asarray(self.obs.rgb)
-        self._depth_np = np.asarray(self.obs.depth)
+        # one per env).  np.array (not asarray): jax arrays view as
+        # READ-ONLY ndarrays, and _observe_subset scatters reloaded slots
+        # into these mirrors in place.
+        self._rgb_np = np.array(self.obs.rgb)
+        self._depth_np = np.array(self.obs.depth)
 
     def _pretransform_obs(self, i):
         rgb = self._rgb_np[i]

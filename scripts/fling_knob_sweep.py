@@ -140,7 +140,14 @@ def run_config(name, ctor_over, param_over, args, base_tasks, max_cov):
     t0 = time.time()
     obs = np.asarray(env.reset())
     running_best = None  # oracle@k is a running max across levels
+    levels_done = 0
     for level in range(args.levels):
+        # per-level deadline: a 3-level config is ~3x a sweep row; record
+        # the levels that finished rather than overrun the chip window
+        if args.end and level > 0 and time.time() > args.end:
+            print(f"[sweep] {name}: stopping at level {level} (deadline)",
+                  flush=True)
+            break
         vm = build_value_maps(obs, T, args.cands, rng)
         env.step(vm)
         cov = np.asarray(env._chunked_simple(
@@ -154,6 +161,7 @@ def run_config(name, ctor_over, param_over, args, base_tasks, max_cov):
         best = ratio.max(axis=1)
         running_best = best if running_best is None \
             else np.maximum(running_best, best)
+        levels_done = level + 1
         if level + 1 < args.levels:
             # broadcast each group's best state/topology to the group
             sel = np.arange(T) * args.cands + ratio.argmax(axis=1)
@@ -163,7 +171,7 @@ def run_config(name, ctor_over, param_over, args, base_tasks, max_cov):
             env._observe()
             obs = np.asarray(env.obs.obs_stack)
     row = {"config": name, "ctor": ctor_over, "params": param_over,
-           "levels": args.levels,
+           "levels": levels_done,
            "oracle_l1": [round(float(v), 4) for v in running_best],
            "mean_oracle_l1": round(float(running_best.mean()), 4),
            "ge_080": int((running_best >= 0.80).sum()),

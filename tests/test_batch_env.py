@@ -79,6 +79,37 @@ class TestBatchEnv:
         np.testing.assert_allclose(
             np.asarray(obs_chunked), np.asarray(obs_full), atol=1e-6)
 
+    def test_observe_subset_updates_host_mirrors(self, task_file):
+        """Reloaded slots scatter fresh rgb/depth into the host mirrors
+        in place; np.asarray views of jax arrays are READ-ONLY, which
+        crashed every mid-session reload on TPU (2026-08-20 probe:
+        'assignment destination is read-only' in _observe_subset)."""
+        loader = TaskLoader(task_file, repeat=True)
+        env = BatchSimEnv(
+            get_task_fn=loader.get_next_task,
+            num_envs=2,
+            obs_dim=64,
+            num_rotations=2,
+            scale_factors=[1.0, 1.5],
+            episode_length=1,
+            render_dim=128,
+            max_grid_dim=MAX_DIM,
+            self_collision=False,
+            domain_randomization=False,
+            seed=3,
+        )
+        env.reset()
+        before = env._rgb_np.copy()
+        # perturb slot 0's state so its re-observation must differ
+        import jax.numpy as jnp
+
+        shift = jnp.zeros_like(env.state.positions)
+        shift = shift.at[0, :, 0].set(0.05)
+        env.state = env.state.replace(positions=env.state.positions + shift)
+        env._observe_subset([0])  # must not raise (writable mirrors)
+        assert not np.array_equal(env._rgb_np[0], before[0])
+        np.testing.assert_array_equal(env._rgb_np[1], before[1])
+
 
 @pytest.mark.slow
 class TestRunSimSmoke:
