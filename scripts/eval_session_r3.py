@@ -167,6 +167,15 @@ def main():
         dict(name="hard/heuristic-fric25", tasks=hard, policy="heuristic",
              load=None, episodes=100, num_envs=20,
              solver_overrides={"dynamic_friction": 0.25}),
+        # round-5 friction refinement winner (fric.1: level-1 oracle 0.838,
+        # 5/8 tasks >= 0.80; strain check shows no fabric stretch) — the
+        # headline capability pair under the new physics
+        dict(name="hard/heuristic-fric1", tasks=hard, policy="heuristic",
+             load=None, episodes=100, num_envs=20,
+             solver_overrides={"dynamic_friction": 0.1}),
+        dict(name="hard/ckpt-fric1", tasks=hard, policy="ckpt", load=ck,
+             episodes=100, num_envs=20,
+             solver_overrides={"dynamic_friction": 0.1}),
         # remaining sets
         dict(name="easy/heuristic", tasks=easy, policy="heuristic",
              load=None, episodes=64),
