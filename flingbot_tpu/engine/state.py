@@ -33,6 +33,10 @@ MAX_GRID_DIM = 104
 
 NUM_PICKERS = 2
 
+# the reference scene's friction constant (softgym_cloth.h:164) — see the
+# dynamic_friction field comment for why the production default differs
+FLEX_SCENE_FRICTION = 0.75
+
 
 class SolverParams(struct.PyTreeNode):
     """XPBD solver parameters (all leaves are scalars -> cheap to vmap over).
@@ -48,9 +52,19 @@ class SolverParams(struct.PyTreeNode):
     )
     # viscous velocity damping (NvFlex.h:117 'damping'; scene sets 1.0)
     damping: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(1.0))
-    # friction of particles against shapes/plane (NvFlex.h:105; scene: 0.75)
+    # friction of particles against shapes/plane (NvFlex.h:105).  The FleX
+    # scene CONSTANT is 0.75 (softgym_cloth.h:164), but FleX applies shape
+    # friction once per step while this engine's Coulomb projection runs
+    # per contact pass, so the numerically-equal mu over-brakes the
+    # drag-across-floor phase of a fling.  0.1 is the BEHAVIORALLY
+    # calibrated production value (round-5 knob sweep,
+    # runs/round5/knob_sweep*.jsonl: best-of-16 oracle coverage on 8 hard
+    # tasks 0.60 @ mu=.75 -> 0.70 @ .25 -> 1.00 @ .1; hard-100 heuristic
+    # best@3 0.52 -> 0.62 -> 0.745 — only mu~=0.1 reproduces the
+    # reference's >0.80-capable fling).  FLEX_SCENE_FRICTION restores the
+    # raw scene constant (--flex_parity preset).
     dynamic_friction: jnp.ndarray = struct.field(
-        default_factory=lambda: jnp.float32(0.75)
+        default_factory=lambda: jnp.float32(0.1)
     )
     # scale of friction between particles (NvFlex.h:107; scene: 1.0)
     particle_friction: jnp.ndarray = struct.field(

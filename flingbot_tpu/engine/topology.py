@@ -599,6 +599,30 @@ def build_layered_topology(
     )
 
 
+def grid_triangles_dynamic(dimx, dimy, max_dimx: int, max_dimy: int):
+    """Padded (T, 3) triangle ids + (T,) mask for a grid cloth with DYNAMIC
+    (traced) dims — the on-device analog of grid_triangles_np, usable under
+    vmap over a task batch (canonical flat index = y * dimx + x).  Feeds the
+    renderer's surface super-sampling (render/rasterizer.py)."""
+    n_cells = (max_dimx - 1) * (max_dimy - 1)
+    t = jnp.arange(2 * n_cells, dtype=jnp.int32)
+    cell = t // 2
+    second = (t % 2) == 1
+    cx = cell % (max_dimx - 1)
+    cy = cell // (max_dimx - 1)
+    ok = (cx < dimx - 1) & (cy < dimy - 1)
+    a = cy * dimx + cx
+    b = a + 1
+    c = a + dimx + 1
+    d = a + dimx
+    tri = jnp.where(
+        second[:, None],
+        jnp.stack([a, c, d], axis=1),
+        jnp.stack([a, b, c], axis=1))
+    tri = jnp.where(ok[:, None], tri, 0)
+    return tri, ok
+
+
 def grid_triangles_np(dimx: int, dimy: int) -> np.ndarray:
     """Triangles of a grid cloth, matching CreateSpringGrid's triangulation
     (helpers.h:855-864): per quad, (x-1,y-1),(x,y-1),(x,y) and

@@ -1,11 +1,16 @@
 """Dense action selection: masked argmax over the spatial action space.
 
 The reference walks candidate pixels in descending value order, lazily
-checking validity (in-bounds after inverse transform) and dual-arm
-reachability until one passes (get_max_value_valid_action,
-environment/simEnv.py:560-661).  Validity is action-independent, so on TPU
-we compute ALL validity masks up front as arrays and take one masked argmax
-— semantically identical, with zero host round-trips.
+checking validity (in-bounds after inverse transform), dual-arm
+reachability, and the conservative grasp-circle cloth test until one
+passes (get_max_value_valid_action, environment/simEnv.py:560-661 with
+check_action, simEnv.py:202-260).  Validity is action-independent, so on
+TPU we compute ALL validity masks up front as arrays and take one masked
+argmax — semantically identical, with zero host round-trips.  The
+grasp-circle test uses the eroded cloth mask warped through the same
+transform stack as the observation (observation.py), masking out pixels
+whose primitive would no-op (fling: both circles off cloth, simEnv.py:287;
+drag/place: p1 off cloth, simEnv.py:324,350).
 
 Per-primitive grasp-point geometry (get_action_params, simEnv.py:517-537):
   fling/stretchdrag: p1/p2 = selected pixel +- pix_grasp_dist rows
@@ -88,10 +93,10 @@ def select_action(
     o1s, o2s, pairings = _pair_offsets(
         primitives, pix_grasp_dist, pix_drag_dist, pix_place_dist)
 
-    depth_w = obs.mask_stack[:, 0]  # (T, D, D)
     reach_l = obs.mask_stack[:, 1] > 0.5
     reach_r = obs.mask_stack[:, 2] > 0.5
-    inb = obs.mask_stack[:, 3] > 0.5
+    grasp_w = obs.mask_stack[:, 3] > 0.5  # warped grasp-circle-on-cloth
+    inb = obs.mask_stack[:, 4] > 0.5
 
     ri = jnp.arange(D)
     # edge crop in both axes (the (**) crop, simEnv.py:564-567)
@@ -110,11 +115,19 @@ def select_action(
         p2_in = shifted(inb, o2)
         if pairing == 0:
             reach_ok = shifted(reach_l, o1) & shifted(reach_r, o2)
+            # fling/stretchdrag no-op unless at least one grasp circle
+            # lands on cloth (simEnv.py:287); mask those pixels out so the
+            # argmax moves to the next-best executable action, matching
+            # the reference's candidate-rejection scan (simEnv.py:560-661)
+            grasp_ok_p = shifted(grasp_w, o1) | shifted(grasp_w, o2)
         else:
             left_both = shifted(reach_l, o1) & shifted(reach_l, o2)
             right_both = shifted(reach_r, o1) & shifted(reach_r, o2)
             reach_ok = left_both | right_both
-        masks.append(p1_in & p2_in & reach_ok & crop2d[None])
+            # drag/place no-op unless p1's grasp circle is on cloth
+            # (simEnv.py:324,350)
+            grasp_ok_p = shifted(grasp_w, o1)
+        masks.append(p1_in & p2_in & reach_ok & grasp_ok_p & crop2d[None])
     valid = jnp.stack(masks)  # (P, T, D, D)
 
     masked = jnp.where(valid, value_maps, NEG_INF)

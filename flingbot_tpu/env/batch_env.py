@@ -300,11 +300,14 @@ class BatchSimEnv:
         )
         if domain_randomization:
             self._vm_observe = jax.jit(jax.vmap(
-                lambda p, a, r, s, k: obs_fn(p, a, r, s, dr_key=k),
-                in_axes=(0, 0, None, None, 0)))
+                lambda p, a, f, fm, r, s, k: obs_fn(
+                    p, a, r, s, dr_key=k, faces=f, tri_mask=fm),
+                in_axes=(0, 0, 0, 0, None, None, 0)))
         else:
             self._vm_observe = jax.jit(jax.vmap(
-                obs_fn, in_axes=(0, 0, None, None)))
+                lambda p, a, f, fm, r, s: obs_fn(
+                    p, a, r, s, faces=f, tri_mask=fm),
+                in_axes=(0, 0, 0, 0, None, None)))
         self._vm_settle = jax.jit(
             jax.vmap(
                 lambda s, t: solver_step(s, t, self.params, **self.sim_kw),
@@ -422,6 +425,21 @@ class BatchSimEnv:
         return jax.tree_util.tree_map(
             lambda *xs: jnp.concatenate(xs, axis=0), *outs)
 
+    def _cloth_faces(self):
+        """Batched (faces (B,T,3), tri_mask (B,T)) for the renderer's
+        triangle super-sampling (render/rasterizer.py)."""
+        from flingbot_tpu.engine.topology import (
+            GridTopology, grid_triangles_dynamic)
+
+        t = self.topo
+        if isinstance(t, GridTopology):
+            if not hasattr(self, "_faces_fn"):
+                self._faces_fn = jax.jit(jax.vmap(functools.partial(
+                    grid_triangles_dynamic,
+                    max_dimx=t.max_dimx, max_dimy=t.max_dimy)))
+            return self._faces_fn(t.dimx, t.dimy)
+        return t.triangles, t.tri_mask
+
     def _observe(self):
         # free the previous obs stack's device buffers before building the
         # new one — at 256 envs the (B, T, 4, D, D) stack is ~3.2G padded
@@ -431,12 +449,15 @@ class BatchSimEnv:
         sc = jnp.asarray(self.scale_factors)
         C = self.obs_chunk
         B = self.num_envs
+        faces, fmask = self._cloth_faces()
         if self.domain_randomization:
-            call = lambda p, a, k: self._vm_observe(p, a, rot, sc, k)
-            args = (self.state.positions, self.state.active, self._dr_keys)
+            call = lambda p, a, f, fm, k: self._vm_observe(
+                p, a, f, fm, rot, sc, k)
+            args = (self.state.positions, self.state.active, faces, fmask,
+                    self._dr_keys)
         else:
-            call = lambda p, a: self._vm_observe(p, a, rot, sc)
-            args = (self.state.positions, self.state.active)
+            call = lambda p, a, f, fm: self._vm_observe(p, a, f, fm, rot, sc)
+            args = (self.state.positions, self.state.active, faces, fmask)
         if C >= B:
             self.obs = call(*args)
         else:
@@ -475,6 +496,7 @@ class BatchSimEnv:
         idx = np.asarray(list(idx_list) + [idx_list[-1]] * pad, np.int32)
         rot = jnp.asarray(self.rotations)
         sc = jnp.asarray(self.scale_factors)
+        faces, fmask = self._cloth_faces()
         outs = []
         for s in range(0, len(idx), C):
             ii = jnp.asarray(idx[s:s + C])
@@ -482,9 +504,11 @@ class BatchSimEnv:
             act = self.state.active[ii]
             if self.domain_randomization:
                 outs.append(self._vm_observe(
-                    pos, act, rot, sc, self._dr_keys[ii]))
+                    pos, act, faces[ii], fmask[ii], rot, sc,
+                    self._dr_keys[ii]))
             else:
-                outs.append(self._vm_observe(pos, act, rot, sc))
+                outs.append(self._vm_observe(
+                    pos, act, faces[ii], fmask[ii], rot, sc))
         sub = outs[0] if len(outs) == 1 else jax.tree_util.tree_map(
             lambda *xs: jnp.concatenate(xs, axis=0), *outs)
         jidx = jnp.asarray(idx)

@@ -33,7 +33,7 @@ class Observation(NamedTuple):
     depth: jnp.ndarray  # (S, S)
     cloth_mask: jnp.ndarray  # (S, S) bool
     obs_stack: jnp.ndarray  # (T, 4, D, D) transformed observations
-    mask_stack: jnp.ndarray  # (T, 4, D, D): depth, reach_l, reach_r, inbounds
+    mask_stack: jnp.ndarray  # (T, 5, D, D): depth, reach_l, reach_r, grasp, inbounds
     grasp_ok: jnp.ndarray  # (S, S) eroded cloth mask (conservative grasp)
     adaptive_scales: jnp.ndarray  # (S_scales,) scale factors actually used
     adaptive_ratio: jnp.ndarray  # scalar crop ratio (1.0 if no shrink)
@@ -70,10 +70,12 @@ def compute_observation(
     reach_distance_limit: float = 1.2,
     cloth_color=(0.35, 0.35, 0.85),
     dr_key=None,
+    faces=None,
+    tri_mask=None,
 ) -> Observation:
     rgb, depth = render_rgbd(
         positions, active, image_size=image_size, cloth_color=cloth_color,
-        dr_key=dr_key)
+        dr_key=dr_key, faces=faces, tri_mask=tri_mask)
     cloth_mask = depth < CAMERA_HEIGHT - 1e-4
 
     # adaptive scaling from the mask bounding box (simEnv.py:719-732)
@@ -110,20 +112,23 @@ def compute_observation(
     grasp_ok = _erode_disk(cloth_mask, conservative_grasp_radius)
 
     # one batched warp for obs (rgb+depth) and validity channels; the warp
-    # appends a true in-bounds channel for samples inside the source image
+    # appends a true in-bounds channel for samples inside the source image.
+    # grasp_ok rides the same warp so action.py can test the grasp-circle
+    # cloth condition densely at every candidate pixel (simEnv.py:235-253).
     stacked_src = jnp.concatenate(
         [
             rgb,
             depth[..., None],
             reach_l[..., None].astype(jnp.float32),
             reach_r[..., None].astype(jnp.float32),
+            grasp_ok[..., None].astype(jnp.float32),
         ],
         axis=-1,
     )
     warped = prepare_image(
         stacked_src, rotations, scales, out_dim=obs_dim, with_valid=True)
     obs_stack = warped[:, :4]
-    mask_stack = warped[:, 3:]  # depth, reach_l, reach_r, inbounds
+    mask_stack = warped[:, 3:]  # depth, reach_l, reach_r, grasp, inbounds
     return Observation(
         rgb=rgb,
         depth=depth,

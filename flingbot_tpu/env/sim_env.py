@@ -328,7 +328,20 @@ class SimEnv:
 
     # ------------------------------------------------------------------
 
+    def _cloth_faces(self):
+        """(faces, tri_mask) for the renderer's triangle super-sampling
+        (render/rasterizer.py surface_sample_points)."""
+        from flingbot_tpu.engine.topology import (
+            GridTopology, grid_triangles_dynamic)
+
+        if isinstance(self.topo, GridTopology):
+            return grid_triangles_dynamic(
+                self.topo.dimx, self.topo.dimy,
+                self.topo.max_dimx, self.topo.max_dimy)
+        return self.topo.triangles, self.topo.tri_mask
+
     def _observe(self) -> Observation:
+        faces, tri_mask = self._cloth_faces()
         obs = compute_observation(
             self.state.positions,
             self.state.active,
@@ -340,6 +353,8 @@ class SimEnv:
             use_adaptive_scaling=self.use_adaptive_scaling,
             reach_distance_limit=self.reach_distance_limit,
             dr_key=self.dr_key,
+            faces=faces,
+            tri_mask=tri_mask,
         )
         self.adaptive_scale_factors = np.asarray(obs.adaptive_scales)
         return obs

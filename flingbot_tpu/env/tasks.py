@@ -699,6 +699,7 @@ def generate_tasks_batch(
     log: bool = True,
     chunk_steps: int = 64,
     schedule=None,
+    solver_params: "SolverParams | None" = None,
 ) -> int:
     """Batched task generation: `batch` crumpling rollouts run as one
     vmapped device program — the TPU replacement for the reference's N Ray
@@ -712,7 +713,7 @@ def generate_tasks_batch(
     single-program path."""
     assert task_difficulty in ("hard", "easy")
     rng = np.random.default_rng(seed)
-    params = SolverParams()
+    params = solver_params if solver_params is not None else SolverParams()
     # resumable: count existing tasks so an interrupted run (or a TPU
     # worker crash) picks up where it left off
     import os as _os

@@ -26,6 +26,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from flingbot_tpu.render.camera import CAMERA_FOV, CAMERA_HEIGHT, focal_length
 
@@ -84,6 +85,40 @@ def domain_randomized_palette(dr_key, image_size: int):
     return cloth, floor
 
 
+def _surface_subdiv(image_size: int) -> int:
+    """Barycentric subdivision level m: sample spacing along a triangle leg
+    is legpx/m; legs project to ~0.00434 * S px (0.00625 m spacing over the
+    1.44 m view), so m ~ S/160 keeps samples under ~0.8 px apart with a
+    stretch margin."""
+    return max(2, int(np.ceil(image_size * 0.0062)))
+
+
+def surface_sample_points(positions, faces, tri_mask, m: int):
+    """Dense barycentric surface samples — on-device TRIANGLE rasterization
+    (the reference's GL path, shadersGL.cpp:3253-3330): every face is
+    sampled on the barycentric lattice {(i/m, j/m): i+j <= m} and each
+    sample marks ONLY its containing pixel (single-pixel stamp), so the
+    mask has no splat dilation; mask IoU >= 0.95 vs a dense ground-truth
+    rasterization on crumpled scenes (tests/test_render_fidelity.py).
+
+    positions (N, 3); faces (T, 3) i32 (padded); tri_mask (T,).
+    Returns (pts (K*T, 3), active (K*T,)) with K = (m+1)(m+2)/2."""
+    a = positions[faces[:, 0]]
+    b = positions[faces[:, 1]]
+    c = positions[faces[:, 2]]
+    us, vs = [], []
+    for i in range(m + 1):
+        for j in range(m + 1 - i):
+            us.append(i / m)
+            vs.append(j / m)
+    u = jnp.asarray(us, positions.dtype)[:, None, None]
+    v = jnp.asarray(vs, positions.dtype)[:, None, None]
+    pts = a[None] * (1.0 - u - v) + b[None] * u + c[None] * v  # (K, T, 3)
+    K = len(us)
+    act = jnp.tile(tri_mask, K)
+    return pts.reshape(-1, 3), act
+
+
 def _splat_depth(positions, active, image_size, splat_radius_px, k,
                  camera_height):
     """Scatter-min particle disks into a flat depth buffer."""
@@ -127,8 +162,20 @@ def render_depth(
     splat_radius_px: float = 2.5,
     k: int = 7,
     camera_height: float = CAMERA_HEIGHT,
+    faces=None,
+    tri_mask=None,
 ):
-    """(N,3) particles -> (S,S) linear depth image (floor = camera_height)."""
+    """(N,3) particles -> (S,S) linear depth image (floor = camera_height).
+
+    With `faces`/`tri_mask` the surface is densely barycentric-sampled and
+    stamped per-pixel — triangle-rasterizer-grade masks (see
+    surface_sample_points)."""
+    if faces is not None:
+        pts, act = surface_sample_points(
+            positions, faces, tri_mask, _surface_subdiv(image_size))
+        positions = jnp.concatenate([positions, pts])
+        active = jnp.concatenate([active, act])
+        splat_radius_px, k = 0.5, 1
     return _splat_depth(
         positions, active, image_size, splat_radius_px, k, camera_height
     )
@@ -147,13 +194,23 @@ def render_rgbd(
     k: int = 7,
     camera_height: float = CAMERA_HEIGHT,
     dr_key=None,
+    faces=None,
+    tri_mask=None,
 ):
     """(N,3) particles -> (rgb (S,S,3) in [0,1], depth (S,S) linear).
 
     Matches the reference obs contract: get_image / blender_render_cloth
     return (color, depth) with the floor at depth 2.0.  When `dr_key` (a
     PRNGKey) is given, cloth color and floor texture are domain-randomized
-    from it (render_rgbd.py:10-54 parity) — pass a per-episode key."""
+    from it (render_rgbd.py:10-54 parity) — pass a per-episode key.  With
+    `faces`/`tri_mask` the surface is triangle-super-sampled (see
+    render_depth)."""
+    if faces is not None:
+        pts, act = surface_sample_points(
+            positions, faces, tri_mask, _surface_subdiv(image_size))
+        positions = jnp.concatenate([positions, pts])
+        active = jnp.concatenate([active, act])
+        splat_radius_px, k = 0.5, 1
     depth = _splat_depth(
         positions, active, image_size, splat_radius_px, k, camera_height
     )

@@ -120,9 +120,9 @@ def config_parser(parser: ArgumentParser = None) -> ArgumentParser:
     parser.add_argument("--flex_parity", action="store_true", default=False,
                         help="preset: the reference FleX solver operating "
                              "point (gs springs, 4 substeps x 30 iterations, "
-                             "contacts 8/16/every substep — "
-                             "softgym_cloth.h:154-155); overrides the "
-                             "production solver knobs")
+                             "contacts 8/16/every substep, raw scene "
+                             "friction 0.75 — softgym_cloth.h:154-164); "
+                             "overrides the production solver knobs")
     parser.add_argument("--solver_overrides", type=str, default=None,
                         help="JSON dict of SolverParams leaf overrides, "
                              'e.g. \'{"damping": 0.0, "lift": 0.05}\' — '
@@ -162,6 +162,14 @@ def apply_presets(args):
         args.contact_every = 1
         args.contact_iterations = 8
         args.contact_window = 16
+        # raw FleX scene friction constant (softgym_cloth.h:164); the
+        # production default is the behaviorally calibrated mu — see
+        # engine/state.py SolverParams.dynamic_friction
+        import json as _json
+        from flingbot_tpu.engine.state import FLEX_SCENE_FRICTION
+        ov = _json.loads(getattr(args, "solver_overrides", None) or "{}")
+        ov.setdefault("dynamic_friction", FLEX_SCENE_FRICTION)
+        args.solver_overrides = _json.dumps(ov)
     if getattr(args, "num_processes", None):
         args.num_envs = args.num_processes
     return args

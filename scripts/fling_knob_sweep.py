@@ -143,8 +143,10 @@ def run_config(name, ctor_over, param_over, args, base_tasks, max_cov):
     levels_done = 0
     for level in range(args.levels):
         # per-level deadline: a 3-level config is ~3x a sweep row; record
-        # the levels that finished rather than overrun the chip window
-        if args.end and level > 0 and time.time() > args.end:
+        # the levels that finished rather than overrun the chip window.
+        # Checked before level 0 too so a late start exits with an explicit
+        # skipped row instead of overrunning by a full level (ADVICE r4)
+        if args.end and time.time() > args.end:
             print(f"[sweep] {name}: stopping at level {level} (deadline)",
                   flush=True)
             break

@@ -93,10 +93,16 @@ def main():
             env._vm_coverage, env.state.positions, env.state.active))[0])
         s1 = strain_stats(env.state.positions[0], dimx, dimy, spacing)
         reloaded = bool(np.asarray(env.timesteps)[0] == 0)
-        row = {"fric": fric, "coverage_ratio": round(cov / max_cov, 4),
+        # a reloaded slot holds a FRESH crumpled task, not the settled
+        # post-fling cloth — its coverage/strain would poison a friction
+        # comparison, so null them out (ADVICE r4)
+        row = {"fric": fric,
+               "coverage_ratio": None if reloaded else round(cov / max_cov, 4),
                "reloaded": reloaded,
                "strain_init": {k: round(v, 4) for k, v in s0.items()},
-               "strain_post_fling": {k: round(v, 4) for k, v in s1.items()}}
+               "strain_post_fling": (
+                   None if reloaded else
+                   {k: round(v, 4) for k, v in s1.items()})}
         print(json.dumps(row), flush=True)
         del env
 

@@ -18,9 +18,14 @@ if [ "$LEFT" -lt 600 ]; then
   exit 0
 fi
 echo "[w3b] running fric.15 level-1 (${LEFT}s budget)"
+# clear the pgid file BEFORE launching so a failed start can't leave us
+# monitoring a stale pid from a prior run (ADVICE r4)
+rm -f /tmp/r5w3b_pgid
 setsid bash -c "echo \$\$ > /tmp/r5w3b_pgid; exec python scripts/fling_knob_sweep.py --levels 1 --configs fric.15 --end $END --per_config_s 60 --out runs/round5/knob_sweep.jsonl" &
-sleep 3
+for _ in $(seq 20); do [ -s /tmp/r5w3b_pgid ] && break; sleep 1; done
+[ -s /tmp/r5w3b_pgid ] || { echo "[w3b] launch failed (no pgid file)"; exit 1; }
 PGID=$(cat /tmp/r5w3b_pgid)
+kill -0 -- -"$PGID" 2>/dev/null || { echo "[w3b] pgid $PGID not alive"; exit 1; }
 while [ "$(date +%s)" -lt "$END" ]; do
   kill -0 -- -"$PGID" 2>/dev/null || { echo "[w3b] row done ($(date -u))"; exit 0; }
   sleep 15

@@ -13,13 +13,17 @@ export PYTHONPATH=/root/repo:/root/.axon_site
 while kill -0 "$PID" 2>/dev/null; do sleep 15; done
 echo "[w4] probe pid $PID exited ($(date -u)); handoff sleep 150s"
 sleep 150
+# clear stale pgid file first; verify the child actually started (ADVICE r4)
+rm -f /tmp/r5w4_pgid
 setsid bash -c "echo \$\$ > /tmp/r5w4_pgid; exec python scripts/eval_session_r3.py \
   --ckpt runs/round4/latest_ckpt.pth \
   --out runs/round5/eval_session.jsonl \
   --budget $BUDGET \
   --only hard/heuristic-fric1,hard/ckpt-fric1" &
-sleep 3
+for _ in $(seq 20); do [ -s /tmp/r5w4_pgid ] && break; sleep 1; done
+[ -s /tmp/r5w4_pgid ] || { echo "[w4] launch failed (no pgid file)"; exit 1; }
 PGID=$(cat /tmp/r5w4_pgid)
+kill -0 -- -"$PGID" 2>/dev/null || { echo "[w4] pgid $PGID not alive"; exit 1; }
 echo "[w4] eval session pgid $PGID, budget ${BUDGET}s"
 END=$(( $(date +%s) + BUDGET + 2700 ))
 while [ "$(date +%s)" -lt "$END" ]; do

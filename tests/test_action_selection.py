@@ -9,8 +9,12 @@ from flingbot_tpu.env.action import select_action
 from flingbot_tpu.env.observation import compute_observation
 
 
-def make_obs(dim=24, height=0.005, image_size=128, adaptive=False):
-    pos = grid_positions(dim, dim, lower=(0.0, height, 0.0))
+def make_obs(dim=96, height=0.005, image_size=128, adaptive=False,
+             spacing=0.0125):
+    # default: a ~1.2 m cloth so center grasp circles (+-0.18 m at scale 1,
+    # +-0.36 m at scale 2 — world offsets are scale*0.18 m independent of
+    # render size) land ON the cloth; pass a small dim for off-cloth cases
+    pos = grid_positions(dim, dim, lower=(0.0, height, 0.0), spacing=spacing)
     pos[:, [0, 2]] -= pos[:, [0, 2]].mean(axis=0)
     active = jnp.ones(dim * dim, bool)
     rotations = jnp.asarray([0.0, 90.0])
@@ -48,7 +52,7 @@ class TestSelectAction:
         # without adaptive scaling a small cloth cannot fit both grasp
         # points (the +-8 px spread covers ~0.36 m at scale 1.0) — exactly
         # the problem adaptive scaling solves (simEnv.py:719-732)
-        obs, rotations = make_obs(adaptive=True)
+        obs, rotations = make_obs(dim=24, spacing=0.00625, adaptive=True)
         assert float(obs.adaptive_ratio) < 1.0
         vm = np.zeros((1, 4, 64, 64), np.float32)
         vm[0, 0, 32, 32] = 1.0  # cloth center at the zoomed-in scale
@@ -67,6 +71,24 @@ class TestSelectAction:
         sel = select_action(jnp.asarray(vm), obs, rotations)
         if bool(sel.valid):
             assert not (bool(sel.p1_grasp) and bool(sel.p2_grasp))
+
+    def test_off_cloth_max_rejected_for_next_best_on_cloth(self):
+        # VERDICT r4 item 3: the reference rejects candidate pixels whose
+        # grasp circles miss the cloth and moves to the next-best
+        # (simEnv.py:202-260 inside :560-661).  The masked argmax must do
+        # the same — NOT execute a terminating no-op at the off-cloth max.
+        # 0.6 m cloth: center grasp circles on cloth, but a column strip
+        # at the view edge is off-cloth for BOTH circle offsets
+        obs, rotations = make_obs(dim=48)
+        grasp = np.asarray(obs.mask_stack[0, 3] > 0.5)
+        assert grasp[32, 32] and not grasp[24, 14] and not grasp[40, 14]
+        vm = np.zeros((1, 4, 64, 64), np.float32)
+        vm[0, 0, 32, 14] = 9.0  # global max: both grasp circles off-cloth
+        vm[0, 0, 32, 32] = 1.0  # next-best: cloth center
+        sel = select_action(jnp.asarray(vm), obs, rotations)
+        assert bool(sel.valid)
+        assert (int(sel.row), int(sel.col)) == (32, 32)
+        assert bool(sel.p1_grasp) or bool(sel.p2_grasp)
 
     def test_action_mask_one_hot(self):
         obs, rotations = make_obs()
