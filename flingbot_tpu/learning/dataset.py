@@ -80,23 +80,34 @@ class GraspDataset:
         self.dihedral_augment = dihedral_augment
         self.use_normalized_coverage = use_normalized_coverage
         self.rng = np.random.default_rng(seed)
-        self.keys = self._get_keys()
+        self._seen: set = set()
+        self.keys: list = []
+        self.refresh()
         if check_validity:
             for k in list(self.keys):
                 self._check_validity(k)
-            self.keys = self._get_keys()
+            self._seen = set()
+            self.keys = []
+            self.refresh()
 
-    def _get_keys(self):
+    def refresh(self) -> int:
+        """Scan only keys added since the last call (opening every group to
+        re-apply the filter each optimize round is O(dataset) of HDF5
+        group opens — a per-round cost that grows with training).  Returns
+        the number of keys appended."""
+        added = 0
         with h5py.File(self.hdf5_path, "r") as f:
-            keys = []
             for k in f:
+                if k in self._seen:
+                    continue
+                self._seen.add(k)
                 try:
-                    group = f[k]
-                    if self.filter_fn is None or self.filter_fn(group):
-                        keys.append(k)
+                    if self.filter_fn is None or self.filter_fn(f[k]):
+                        self.keys.append(k)
+                        added += 1
                 except Exception:
                     pass
-            return keys
+        return added
 
     def _check_validity(self, key):
         """Delete malformed groups (learning/utils.py:58-71)."""

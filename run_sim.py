@@ -112,12 +112,24 @@ def main():
         **vars(args),
     )
 
+    # one dataset instance per primitive, incrementally refreshed — a fresh
+    # GraspDataset per optimize round re-opens EVERY group to re-apply the
+    # filter, an O(dataset) host cost that grows all run
+    _ds_cache = {}
+
     def dataset_factory(primitive):
-        return GraspDataset(
-            hdf5_path=dataset_path,
-            filter_fn=lambda g: g.attrs.get("action_primitive") == primitive,
-            **vars(args),
-        )
+        ds = _ds_cache.get(primitive)
+        if ds is None:
+            ds = GraspDataset(
+                hdf5_path=dataset_path,
+                filter_fn=lambda g:
+                    g.attrs.get("action_primitive") == primitive,
+                **vars(args),
+            )
+            _ds_cache[primitive] = ds
+        else:
+            ds.refresh()
+        return ds
 
     try:
         obs = env.reset()

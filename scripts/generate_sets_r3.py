@@ -68,7 +68,19 @@ def main():
     ap.add_argument("--chunk_steps", type=int, default=96)
     ap.add_argument("--backend", default="pallas")
     ap.add_argument("--contact_mode", default="sort")
+    ap.add_argument("--gen_fric", type=float, default=None,
+                    help="dynamic_friction during task GENERATION "
+                         "(default: the production SolverParams default; "
+                         "pass 0.75 to hold the FleX-scene crumpling "
+                         "regime if the calibrated mu under-crumples — "
+                         "see runs/round5b/parity_suite.jsonl)")
     a = ap.parse_args()
+    gen_params = None
+    if a.gen_fric is not None:
+        from flingbot_tpu.engine.state import SolverParams
+        import jax.numpy as jnp
+
+        gen_params = SolverParams(dynamic_friction=jnp.float32(a.gen_fric))
     os.makedirs("data_r3", exist_ok=True)
 
     for name in a.sets.split(","):
@@ -95,7 +107,8 @@ def main():
             strict_min_edge_length=strict, task_difficulty=diff,
             max_grid_dim=grid, backend=a.backend,
             spring_mode="gs", contact_mode=a.contact_mode,
-            contact_every=2, chunk_steps=a.chunk_steps)
+            contact_every=2, chunk_steps=a.chunk_steps,
+            solver_params=gen_params)
         stats = set_stats(path)
         print(f"[{name}] {json.dumps(stats)}", flush=True)
     print("ALL_SETS_DONE", flush=True)

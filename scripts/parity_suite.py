@@ -91,10 +91,13 @@ def main():
                 f.write(json.dumps(row) + "\n")
 
     g = 9.8
+    # params as a traced ARGUMENT: one compile serves every mu (leaves are
+    # runtime scalars; a closed-over params bakes mu into the HLO and
+    # recompiles per row — ~4 min/compile through the tunnel)
+    step_jit = jax.jit(lambda s, pp: solver_step(s, topo, pp, **sim_kw))
     for mu in (float(m) for m in args.mus.split(",")):
         params = SolverParams(dynamic_friction=jnp.float32(mu))
-        step_fn = jax.jit(lambda s, pp=params: solver_step(
-            s, topo, pp, **sim_kw))
+        step_fn = lambda s, pp=params: step_jit(s, pp)
 
         # --- 1. fling-slide -> mu_eff ---------------------------------
         slide = {}
@@ -128,9 +131,10 @@ def main():
             min_cloth_size=min(64, dim - 1), max_cloth_size=dim,
             strict_min_edge_length=min(64, dim), task_difficulty="hard",
             max_grid_dim=dim, log=False, solver_params=params)
+        loader = TaskLoader(tmp)
         ratios = []
-        for t in TaskLoader(tmp):
-            s = t.get_stats()
+        for _ in range(len(loader)):
+            s = loader.get_next_task().get_stats()
             ratios.append(s["init_coverage"] / max(s["max_coverage"], 1e-9))
         crumple = {"ratio_mean": round(float(np.mean(ratios)), 4),
                    "ratio_min": round(float(np.min(ratios)), 4),
