@@ -50,23 +50,25 @@ SCALES = (1.0, 1.25, 1.5, 1.75, 2.0, 2.25, 2.5, 2.75)
 _policies: dict = {}
 
 
-def get_policy(load: str):
-    if load not in _policies:
+def get_policy(load: str, tta: bool = False):
+    key = (load, tta)
+    if key not in _policies:
         from flingbot_tpu.learning.nets import MaximumValuePolicy
         from flingbot_tpu.utils.checkpoint import load_checkpoint
 
         policy = MaximumValuePolicy(
             action_primitives=["fling"], num_rotations=ROTATIONS,
-            scale_factors=list(SCALES), obs_dim=64)
+            scale_factors=list(SCALES), obs_dim=64, tta=tta)
         load_checkpoint(load, policy)
-        _policies[load] = policy
-    return _policies[load]
+        _policies[key] = policy
+    return _policies[key]
 
 
 def run_eval(name: str, tasks: str, policy: str, load: str | None,
              episodes: int, num_envs: int = 16, max_grid_dim: int = 104,
              steps: int = 3, seed: int = 0, task_offset: int = 0,
-             solver_overrides: "dict | None" = None) -> dict:
+             solver_overrides: "dict | None" = None,
+             tta: bool = False) -> dict:
     from flingbot_tpu.env.batch_env import BatchSimEnv
     from flingbot_tpu.env.tasks import TaskLoader, detect_topology_buckets
     from flingbot_tpu.utils.stats import collect_stats
@@ -84,7 +86,7 @@ def run_eval(name: str, tasks: str, policy: str, load: str | None,
         episode_length=steps, render_dim=256, max_grid_dim=max_grid_dim,
         **detect_topology_buckets(tasks), domain_randomization=True,
         seed=seed, solver_overrides=solver_overrides, **CFG)
-    net = get_policy(load) if policy == "ckpt" else None
+    net = get_policy(load, tta) if policy == "ckpt" else None
 
     t0 = time.time()
     obs = env.reset()
@@ -176,6 +178,12 @@ def main():
         dict(name="hard/ckpt-fric1", tasks=hard, policy="ckpt", load=ck,
              episodes=100, num_envs=20,
              solver_overrides={"dynamic_friction": 0.1}),
+        # dihedral test-time-averaged value maps (beyond-reference
+        # inference feature; 8x CNN cost is negligible next to the sim)
+        dict(name="hard/ckpt-tta", tasks=hard, policy="ckpt", load=ck,
+             episodes=100, num_envs=20, tta=True),
+        dict(name="easy/ckpt-tta", tasks=easy, policy="ckpt", load=ck,
+             episodes=64, tta=True),
         # remaining sets
         dict(name="easy/heuristic", tasks=easy, policy="heuristic",
              load=None, episodes=64),

@@ -13,9 +13,13 @@ export PYTHONPATH=/root/repo:/root/.axon_site
 export JAX_COMPILATION_CACHE_DIR=/root/jaxcache
 mkdir -p runs/round5b
 
-echo "[w2] regen train512 under production physics ($(date -u))"
+sleep "${W2_PRESLEEP:-150}"  # single-client handoff from the previous job
+echo "[w2] regen train512 ($(date -u)) — generation at the FleX scene
+mu=0.75 (crumple-grade parity: parity_suite measured drop-crumple ratio
+0.43 at mu=.75 vs 0.76 near-flat at the calibrated episode mu=.1;
+episodes themselves run the production default)"
 timeout 3600 python scripts/generate_sets_r3.py \
-  --sets train512 --batch 128 --chunk_steps 96 \
+  --sets train512 --batch 128 --chunk_steps 96 --gen_fric 0.75 \
   2>&1 | tee runs/round5b/regen_w2.log
 echo "[w2] regen rc=$? ($(date -u)); handoff sleep 150"
 sleep 150
