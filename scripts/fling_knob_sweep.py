@@ -98,6 +98,13 @@ CONFIGS = {
     "fric.1+iters30": ({"iterations": 30}, {"dynamic_friction": 0.1}),
     "fric.1+flingh.5": ({"fixed_fling_height": 0.5},
                         {"dynamic_friction": 0.1}),
+    # round-5b perf QA gates: 'base' now IS the calibrated mu=0.1
+    # production default, so these isolate the iteration count (PERF.md
+    # lever 1 — fewer Chebyshev iterations were QUALITY-positive down to
+    # 16 in round 3; 12/10 need an oracle gate before landing in bench)
+    "iters12": ({"iterations": 12}, {}),
+    "iters10": ({"iterations": 10}, {}),
+    "iters12rho985": ({"iterations": 12}, {"chebyshev_rho": 0.985}),
 }
 
 

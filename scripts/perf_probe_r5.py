@@ -89,6 +89,47 @@ def main():
             contact_iterations=4, contact_window=12)))
         emit(f"step_iters{iters}", timeit(fn, batch))
 
+    # --- loop-structure isolation (the training program runs its solver
+    # steps inside a lax.while_loop; bench uses a python dispatch loop —
+    # if these differ, the gap is XLA loop overhead, not the interpreter)
+    def scan_steps(s, k):
+        def body(st, _):
+            return solver_step(
+                st, topo, params, backend="pallas",
+                spring_mode="chebyshev", substeps=4, iterations=16,
+                contact_every=2, contact_iterations=4,
+                contact_window=12), None
+        return jax.lax.scan(body, s, None, length=k)[0]
+
+    K = 24
+    scan_fn = jax.jit(jax.vmap(lambda s: scan_steps(s, K)))
+    sec = timeit(scan_fn, batch, steps=2) / K
+    emit(f"scan{K}_raw_step", sec)
+
+    # full interpreter chunk (program_chunk on a mid-fling MOVE phase)
+    from flingbot_tpu.env.primitives import (
+        PROGRAM_BUILDERS, PrimitiveConfig, init_program_carry,
+        program_chunk)
+
+    cfg = PrimitiveConfig()
+    prog, init_fh = PROGRAM_BUILDERS["fling"](
+        jnp.asarray([0.2, 0.02, -0.2]), jnp.asarray([-0.2, 0.02, -0.2]),
+        jnp.bool_(True), jnp.bool_(True), cfg)
+    carry = jax.vmap(lambda s: init_program_carry(
+        s, jnp.float32(0.4), init_fh, 0))(batch)
+    prog_b = jax.tree_util.tree_map(lambda x: jnp.stack([x] * B), prog)
+    topo_b = jax.tree_util.tree_map(
+        lambda x: jnp.stack([x] * B) if hasattr(x, "ndim") else x, topo)
+    chunk_fn = jax.jit(jax.vmap(functools.partial(
+        program_chunk, chunk_steps=K, max_steps=4000,
+        substeps=4, iterations=16, self_collision=True,
+        spring_mode="chebyshev", contact_mode="sort", contact_every=2,
+        contact_iterations=4, contact_window=12, backend="pallas"),
+        in_axes=(0, 0, None, 0)))
+    sec = timeit(lambda: chunk_fn(carry, topo_b, params, prog_b),
+                 steps=2) / K
+    emit(f"chunk{K}_interpreter_step", sec)
+
     # --- stage isolation --------------------------------------------------
     from flingbot_tpu.engine.pallas_kernels import (
         pack_sub_params, pallas_substeps)

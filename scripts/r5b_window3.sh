@@ -44,6 +44,14 @@ timeout 2400 python scripts/perf_probe_r5.py \
 echo "[w3] perf rc=$?; handoff sleep 150"
 sleep 150
 
+echo "[w3] iters QA gate ($(date -u))"
+QA_END=$(( $(date +%s) + 1800 ))
+timeout 2100 python scripts/fling_knob_sweep.py \
+  --levels 1 --configs base,iters12 --end "$QA_END" --per_config_s 700 \
+  --out runs/round5b/iters_qa.jsonl 2>&1 | tee runs/round5b/iters_qa.log
+echo "[w3] QA rc=$?; handoff sleep 150"
+sleep 150
+
 echo "[w3] final bench ($(date -u))"
 timeout 900 python bench.py 2>&1 | tee runs/round5b/bench_w3.log
 echo "[w3] done ($(date -u))"

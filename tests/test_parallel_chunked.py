@@ -27,7 +27,12 @@ def _mk_env(task_file, tmp_path, name, sharding=None):
         obs_dim=64, num_rotations=2, scale_factors=[1.0, 1.5],
         render_dim=128, max_grid_dim=MAX_DIM, self_collision=False,
         spring_mode="chebyshev", iterations=8, episode_length=1,
-        exec_mode="chunked", chunk_steps=48, seed=11, sharding=sharding)
+        exec_mode="chunked", chunk_steps=48, seed=11, sharding=sharding,
+        # FleX-scene friction: the 30% fling-outcome tolerance below was
+        # calibrated here; the calibrated production mu=0.1 lets this
+        # tiny cloth slide further, amplifying sharding-layout float
+        # reassociation past it (measured 31% rel on 2026-08-20)
+        solver_overrides={"dynamic_friction": 0.75})
 
 
 def _collect(env):
