@@ -37,7 +37,8 @@ BASELINE_ENV_STEPS_PER_SEC = 2000.0
 
 
 def main(num_envs: int = 512, dim: int = 100, steps: int = 20,
-         self_collision: bool = True, backend: str = "pallas"):
+         self_collision: bool = True, backend: str = "pallas",
+         iterations: int = 16, substeps: int = 4):
     import jax
     import jax.numpy as jnp
 
@@ -58,7 +59,7 @@ def main(num_envs: int = 512, dim: int = 100, steps: int = 20,
 
     step_fn = jax.jit(jax.vmap(
         lambda s: solver_step(
-            s, topo, params, substeps=4, iterations=16,
+            s, topo, params, substeps=substeps, iterations=iterations,
             self_collision=self_collision, spring_mode="chebyshev",
             contact_iterations=4, contact_every=2, contact_window=12,
             backend=backend),
@@ -76,9 +77,11 @@ def main(num_envs: int = 512, dim: int = 100, steps: int = 20,
     env_steps_per_sec = num_envs * steps / dt
     print(json.dumps({
         "metric": "xpbd_env_steps_per_sec_per_chip"
-                  f" ({dim}x{dim} cloth, {num_envs} envs, 4 substeps x 16"
-                  f" chebyshev iters [QA-equivalent to FleX 4x30, see"
-                  f" docstring], self_collision={self_collision})",
+                  f" ({dim}x{dim} cloth, {num_envs} envs, {substeps} substeps"
+                  f" x {iterations} chebyshev iters"
+                  + (" [QA-equivalent to FleX 4x30, see docstring]"
+                     if (substeps, iterations) == (4, 16) else "")
+                  + f", self_collision={self_collision})",
         "value": round(env_steps_per_sec, 1),
         "unit": "env-steps/s/chip",
         "vs_baseline": round(env_steps_per_sec / BASELINE_ENV_STEPS_PER_SEC, 3),
@@ -93,5 +96,10 @@ if __name__ == "__main__":
     p.add_argument("--dim", type=int, default=100)
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--no_self_collision", action="store_true")
+    p.add_argument("--iterations", type=int, default=16,
+                   help="chebyshev iterations (default: production 16; "
+                        "pass 30 for the FleX-parity row)")
+    p.add_argument("--substeps", type=int, default=4)
     a = p.parse_args()
-    main(a.num_envs, a.dim, a.steps, not a.no_self_collision)
+    main(a.num_envs, a.dim, a.steps, not a.no_self_collision,
+         iterations=a.iterations, substeps=a.substeps)

@@ -100,6 +100,7 @@ class BatchSimEnv:
         obs_chunk: Optional[int] = None,
         exec_mode: str = "chunked",
         chunk_steps: int = 64,
+        chunk_loop: str = "while",
         solver_overrides=None,
         **_unused,
     ):
@@ -266,6 +267,7 @@ class BatchSimEnv:
                 functools.partial(
                     program_chunk,
                     chunk_steps=self.chunk_steps,
+                    loop=chunk_loop,
                     # the chunked program ENDS in a STABILIZE phase; the
                     # fused path budgets stabilize separately on top of
                     # max_program_steps (sim_env.step_core), so the chunked

@@ -672,6 +672,7 @@ def program_chunk(
     record_frames: int = 0,
     record_every: int = 8,
     aero: bool = False,
+    loop: str = "while",
 ):
     """Run at most `chunk_steps` interpreter iterations of `program`.
 
@@ -679,7 +680,14 @@ def program_chunk(
     until done.  Bounding the work per device call keeps each launch well
     under the TPU runtime's per-call limits (the round-2 worker kernel
     fault on long vmapped programs), at the cost of one scalar readback
-    per chunk."""
+    per chunk.
+
+    loop="scan": the chunk runs as a STATIC-trip-count lax.scan with a
+    per-step done-mask instead of a while_loop.  Semantically identical
+    (a vmapped while_loop already executes every lane each trip and masks
+    finished lanes; the scan makes the masking explicit), but the static
+    trip count lets XLA schedule the loop body without the per-trip
+    condition reduction — a TPU throughput candidate (perf_probe_r5)."""
     num_instr = program.num_instructions
     body = _make_body(
         topo, params, program, substeps=substeps, iterations=iterations,
@@ -692,6 +700,17 @@ def program_chunk(
 
     def base_cond(c: _Carry):
         return (c.pc < num_instr) & (c.total_steps < max_steps)
+
+    if loop == "scan":
+        def sbody(c, _):
+            run = base_cond(c)
+            c2 = body(c)
+            c_next = jax.tree_util.tree_map(
+                lambda old, new: jnp.where(run, new, old), c, c2)
+            return c_next, None
+
+        out, _ = jax.lax.scan(sbody, carry, None, length=chunk_steps)
+        return out, ~base_cond(out)
 
     def cond2(t):
         c, local = t

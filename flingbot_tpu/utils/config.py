@@ -144,6 +144,11 @@ def config_parser(parser: ArgumentParser = None) -> ArgumentParser:
                         help="chunked: host-driven bounded device calls "
                              "(safe at any batch size); fused: one "
                              "while_loop program per env step")
+    parser.add_argument("--chunk_loop", choices=["while", "scan"],
+                        default="while",
+                        help="device loop structure inside each program "
+                             "chunk (scan = static trip count; see "
+                             "primitives.program_chunk)")
     parser.add_argument("--chunk_steps", type=int, default=192,
                         help="max sim steps per device call in chunked mode "
                              "(192 at 128 envs ~= 11 s/call on v5e — inside "

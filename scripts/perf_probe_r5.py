@@ -130,6 +130,16 @@ def main():
                  steps=2) / K
     emit(f"chunk{K}_interpreter_step", sec)
 
+    chunk_scan = jax.jit(jax.vmap(functools.partial(
+        program_chunk, chunk_steps=K, max_steps=4000,
+        substeps=4, iterations=16, self_collision=True,
+        spring_mode="chebyshev", contact_mode="sort", contact_every=2,
+        contact_iterations=4, contact_window=12, backend="pallas",
+        loop="scan"), in_axes=(0, 0, None, 0)))
+    sec = timeit(lambda: chunk_scan(carry, topo_b, params, prog_b),
+                 steps=2) / K
+    emit(f"chunk{K}_interpreter_scan_step", sec)
+
     # --- stage isolation --------------------------------------------------
     from flingbot_tpu.engine.pallas_kernels import (
         pack_sub_params, pallas_substeps)

@@ -54,4 +54,9 @@ sleep 150
 
 echo "[w3] final bench ($(date -u))"
 timeout 900 python bench.py 2>&1 | tee runs/round5b/bench_w3.log
+echo "[w3] bench rc=$?; FleX-parity row (no handoff: same process family,"
+echo "     separate client — sleep 150 anyway)"
+sleep 150
+timeout 900 python bench.py --iterations 30 2>&1 \
+  | tee runs/round5b/bench_w3_flexparity.log
 echo "[w3] done ($(date -u))"

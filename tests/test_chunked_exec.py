@@ -56,6 +56,28 @@ class TestChunkedExecution:
             assert (pre_f is None) == (pre_c is None)
         assert env_f.episodes_done == env_c.episodes_done
 
+    def test_scan_chunk_loop_matches_while(self, task_file, tmp_path):
+        """program_chunk loop='scan' (static trip count + done mask) must
+        be numerically identical to the while_loop form — a vmapped
+        while_loop already executes every lane per trip with per-lane
+        masking, the scan just makes it explicit."""
+        env_w = _mk_env(task_file, tmp_path, "loopw", exec_mode="chunked",
+                        chunk_steps=23)
+        env_s = _mk_env(task_file, tmp_path, "loops", exec_mode="chunked",
+                        chunk_steps=23, chunk_loop="scan")
+        obs_w = np.asarray(env_w.reset())
+        obs_s = np.asarray(env_s.reset())
+        np.testing.assert_allclose(obs_w, obs_s, atol=1e-6)
+        rng = np.random.default_rng(3)
+        vm = rng.uniform(size=(2, 1, obs_w.shape[1], 64, 64)).astype(
+            np.float32)
+        env_w.step(vm)
+        env_s.step(vm)
+        np.testing.assert_allclose(
+            np.asarray(env_w.state.positions),
+            np.asarray(env_s.state.positions), atol=1e-5)
+        assert env_w.episodes_done == env_s.episodes_done
+
     def test_chunked_multi_primitive(self, task_file, tmp_path):
         """Padded+stacked program selection (fling/place differ in length)
         must run and terminate under chunked execution."""
