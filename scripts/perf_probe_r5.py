@@ -51,7 +51,15 @@ def main():
     p.add_argument("--envs", type=int, default=512)
     p.add_argument("--dim", type=int, default=100)
     p.add_argument("--platform", default=None)
+    p.add_argument("--rows", default=None,
+                   help="comma-separated row-name substrings to run "
+                        "(default: all)")
     args = p.parse_args()
+    row_pats = ([s.strip() for s in args.rows.split(",") if s.strip()]
+                if args.rows else None)
+
+    def want(name):
+        return row_pats is None or any(pat in name for pat in row_pats)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
@@ -83,11 +91,31 @@ def main():
 
     # --- full production step at iteration counts ------------------------
     for iters in (16, 12, 10):
+        if not want(f"step_iters{iters}"):
+            continue
         fn = jax.jit(jax.vmap(lambda s: solver_step(
             s, topo, params, backend="pallas", spring_mode="chebyshev",
             substeps=4, iterations=iters, contact_every=2,
             contact_iterations=4, contact_window=12)))
         emit(f"step_iters{iters}", timeit(fn, batch))
+
+    # --- dynamic-dims grid (the TRAINING distribution: dimx 64-104 padded
+    # to the 104 lattice, full_grid=False -> per-step lattice<->canonical
+    # conversion; the probe topo above is full_grid and skips it)
+    if want("step_dynamic_grid"):
+        dtopo = build_grid_topology(dim, dim, max_dimx=104, max_dimy=104)
+        dstate = ClothState.create(
+            np.concatenate([pos, np.zeros((104 * 104 - n, 3), np.float32)]),
+            np.concatenate([np.full(n, n / 0.5, np.float32),
+                            np.zeros(104 * 104 - n, np.float32)]))
+        dstate = dstate.replace(active=jnp.arange(104 * 104) < n)
+        dbatch = jax.tree_util.tree_map(
+            lambda x: jnp.stack([x] * B), dstate)
+        fn = jax.jit(jax.vmap(lambda s: solver_step(
+            s, dtopo, params, backend="pallas", spring_mode="chebyshev",
+            substeps=4, iterations=16, contact_every=2,
+            contact_iterations=4, contact_window=12)))
+        emit("step_dynamic_grid", timeit(fn, dbatch))
 
     # --- loop-structure isolation (the training program runs its solver
     # steps inside a lax.while_loop; bench uses a python dispatch loop —
@@ -102,9 +130,10 @@ def main():
         return jax.lax.scan(body, s, None, length=k)[0]
 
     K = 24
-    scan_fn = jax.jit(jax.vmap(lambda s: scan_steps(s, K)))
-    sec = timeit(scan_fn, batch, steps=2) / K
-    emit(f"scan{K}_raw_step", sec)
+    if want(f"scan{K}_raw_step"):
+        scan_fn = jax.jit(jax.vmap(lambda s: scan_steps(s, K)))
+        sec = timeit(scan_fn, batch, steps=2) / K
+        emit(f"scan{K}_raw_step", sec)
 
     # full interpreter chunk (program_chunk on a mid-fling MOVE phase)
     from flingbot_tpu.env.primitives import (
@@ -120,25 +149,27 @@ def main():
     prog_b = jax.tree_util.tree_map(lambda x: jnp.stack([x] * B), prog)
     topo_b = jax.tree_util.tree_map(
         lambda x: jnp.stack([x] * B) if hasattr(x, "ndim") else x, topo)
-    chunk_fn = jax.jit(jax.vmap(functools.partial(
-        program_chunk, chunk_steps=K, max_steps=4000,
-        substeps=4, iterations=16, self_collision=True,
-        spring_mode="chebyshev", contact_mode="sort", contact_every=2,
-        contact_iterations=4, contact_window=12, backend="pallas"),
-        in_axes=(0, 0, None, 0)))
-    sec = timeit(lambda: chunk_fn(carry, topo_b, params, prog_b),
-                 steps=2) / K
-    emit(f"chunk{K}_interpreter_step", sec)
+    if want(f"chunk{K}_interpreter_step"):
+        chunk_fn = jax.jit(jax.vmap(functools.partial(
+            program_chunk, chunk_steps=K, max_steps=4000,
+            substeps=4, iterations=16, self_collision=True,
+            spring_mode="chebyshev", contact_mode="sort", contact_every=2,
+            contact_iterations=4, contact_window=12, backend="pallas"),
+            in_axes=(0, 0, None, 0)))
+        sec = timeit(lambda: chunk_fn(carry, topo_b, params, prog_b),
+                     steps=2) / K
+        emit(f"chunk{K}_interpreter_step", sec)
 
-    chunk_scan = jax.jit(jax.vmap(functools.partial(
-        program_chunk, chunk_steps=K, max_steps=4000,
-        substeps=4, iterations=16, self_collision=True,
-        spring_mode="chebyshev", contact_mode="sort", contact_every=2,
-        contact_iterations=4, contact_window=12, backend="pallas",
-        loop="scan"), in_axes=(0, 0, None, 0)))
-    sec = timeit(lambda: chunk_scan(carry, topo_b, params, prog_b),
-                 steps=2) / K
-    emit(f"chunk{K}_interpreter_scan_step", sec)
+    if want(f"chunk{K}_interpreter_scan_step"):
+        chunk_scan = jax.jit(jax.vmap(functools.partial(
+            program_chunk, chunk_steps=K, max_steps=4000,
+            substeps=4, iterations=16, self_collision=True,
+            spring_mode="chebyshev", contact_mode="sort", contact_every=2,
+            contact_iterations=4, contact_window=12, backend="pallas",
+            loop="scan"), in_axes=(0, 0, None, 0)))
+        sec = timeit(lambda: chunk_scan(carry, topo_b, params, prog_b),
+                     steps=2) / K
+        emit(f"chunk{K}_interpreter_scan_step", sec)
 
     # --- stage isolation --------------------------------------------------
     from flingbot_tpu.engine.pallas_kernels import (
@@ -156,20 +187,24 @@ def main():
                            params.dt / 4, 0.992)
     pvb = jnp.stack([pvec] * B)
     interp = jax.default_backend() == "cpu"
-    sub_fn = jax.jit(functools.partial(
-        pallas_substeps, n_sub=2, iterations=16, cheb=True,
-        picker_last=False, interpret=interp))
-    emit("substeps_only_2x16", timeit(sub_fn, pvb, Pb, Vb, wb))
+    if want("substeps_only_2x16"):
+        sub_fn = jax.jit(functools.partial(
+            pallas_substeps, n_sub=2, iterations=16, cheb=True,
+            picker_last=False, interpret=interp))
+        emit("substeps_only_2x16", timeit(sub_fn, pvb, Pb, Vb, wb))
 
     from flingbot_tpu.engine import collisions
 
     flat = jnp.stack([st.positions.T] * B)  # (B, 3, N)
     act = jnp.stack([st.active] * B)
     wfl = jnp.stack([st.inv_mass] * B)
-    cg = jax.jit(jax.vmap(lambda P, prev, w, a: collisions.contact_group(
-        P, prev, w, a, params, rest_dist=params.radius, lattice_w=W,
-        window=12, iterations=4, backend="pallas", interpret=interp)))
-    emit("contact_group", timeit(cg, flat, flat, wfl, act))
+    if want("contact_group"):
+        cg = jax.jit(jax.vmap(
+            lambda P, prev, w, a: collisions.contact_group(
+                P, prev, w, a, params, rest_dist=params.radius, lattice_w=W,
+                window=12, iterations=4, backend="pallas",
+                interpret=interp)))
+        emit("contact_group", timeit(cg, flat, flat, wfl, act))
 
     # --- sort micro-benchmarks -------------------------------------------
     rng = np.random.default_rng(0)
@@ -183,18 +218,19 @@ def main():
         return jax.jit(lambda *o: jax.lax.sort(o, dimension=1, num_keys=1))(
             *ops)
 
-    emit("sort_fwd_k8",
-         timeit(lambda: sort_n((keys32,) + tuple(payload[:6]) + (packed,))))
-    emit("sort_fwd_k6",
-         timeit(lambda: sort_n((keys32,) + tuple(payload[:4]) + (packed,))))
-    emit("sort_fwd_k4",
-         timeit(lambda: sort_n((keys32,) + tuple(payload[:2]) + (packed,))))
-    emit("sort_fwd_i16",
-         timeit(lambda: sort_n((keys16,) + tuple(payload[:4]) + (packed,))))
-    emit("sort_inv_k4",
-         timeit(lambda: sort_n((packed,) + tuple(payload[:3]))))
-    emit("sort_inv_k2",
-         timeit(lambda: sort_n((packed, payload[0]))))
+    if want("sort"):
+        emit("sort_fwd_k8", timeit(
+            lambda: sort_n((keys32,) + tuple(payload[:6]) + (packed,))))
+        emit("sort_fwd_k6", timeit(
+            lambda: sort_n((keys32,) + tuple(payload[:4]) + (packed,))))
+        emit("sort_fwd_k4", timeit(
+            lambda: sort_n((keys32,) + tuple(payload[:2]) + (packed,))))
+        emit("sort_fwd_i16", timeit(
+            lambda: sort_n((keys16,) + tuple(payload[:4]) + (packed,))))
+        emit("sort_inv_k4", timeit(
+            lambda: sort_n((packed,) + tuple(payload[:3]))))
+        emit("sort_inv_k2", timeit(
+            lambda: sort_n((packed, payload[0]))))
 
     print(json.dumps({"done": True, "rows": len(rows)}))
 

@@ -3,11 +3,13 @@
 # PRODUCTION physics (calibrated dynamic_friction=0.1 is now the
 # SolverParams default), then train until the deadline at 128 envs.
 #
-# Usage: bash scripts/r5b_window2.sh [END_EPOCH] [num_envs] [chunk]
+# Usage: bash scripts/r5b_window2.sh [END_EPOCH] [num_envs] [chunk] [extra...]
 set -u
 END=${1:-$(( $(date +%s) + 23400 ))}   # default: 6.5 h
 ENVS=${2:-128}
 CHUNK=${3:-192}
+shift $(( $# > 3 ? 3 : $# ))
+EXTRA="$*"
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 export JAX_COMPILATION_CACHE_DIR=/root/jaxcache
@@ -42,7 +44,7 @@ setsid bash -c '
       --warmup 128 \
       --save_ckpt 8 \
       --dihedral_augment \
-      --seed 51
+      --seed 51 '"$EXTRA"'
 ' &
 for _ in $(seq 20); do [ -s /tmp/r5b_train_pgid ] && break; sleep 1; done
 [ -s /tmp/r5b_train_pgid ] || { echo "[w2] train launch failed"; exit 1; }
