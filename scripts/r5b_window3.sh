@@ -20,6 +20,17 @@ CKPT=runs/round5b/train/latest_ckpt.pth
 if [ ! -f "$CKPT" ]; then
   echo "[w3] WARNING: $CKPT missing — falling back to round-4 ckpt"
   CKPT=runs/round4/latest_ckpt.pth
+else
+  # offline optimize epochs on the final buffer (same supervised loss;
+  # round-3 measured the offline pass doing most of the value-net
+  # calibration).  ~8 effective epochs at 10k transitions.
+  cp "$CKPT" runs/round5b/train/latest_online_ckpt.pth
+  echo "[w3] offline pass ($(date -u))"
+  timeout 1800 python scripts/offline_train_r3.py \
+    --log runs/round5b/train --steps 600 --save_every 200 \
+    --dihedral_augment 2>&1 | tee runs/round5b/offline_w3.log
+  echo "[w3] offline rc=$?; handoff sleep 150"
+  sleep 150
 fi
 
 echo "[w3] eval session (ckpt $CKPT, budget ${BUDGET}s, $(date -u))"
