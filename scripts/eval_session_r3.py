@@ -230,9 +230,24 @@ def main():
                     picked.append(j)
         jobs = picked
 
+    # resume: skip jobs that already have a row in --out (so a retry
+    # wrapper after a worker fault re-runs only what's missing)
+    done_names = set()
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            for line in f:
+                try:
+                    done_names.add(json.loads(line).get("job"))
+                except Exception:
+                    pass
+
     t0 = time.time()
     for i, job in enumerate(jobs):
         if i < args.skip:
+            continue
+        if job["name"] in done_names:
+            print(f"[session] skipping {job['name']} (row exists in "
+                  f"{args.out})", flush=True)
             continue
         if time.time() - t0 > args.budget:
             print(f"[session] budget exhausted before {job['name']}",
@@ -244,11 +259,13 @@ def main():
             res = run_eval(**job)
         except Exception:
             # a fault here usually means the worker wedged — STOP rather
-            # than hammer the chip (resume later with --skip i)
+            # than hammer the chip.  Exit nonzero so a retry wrapper
+            # (with its own cooldown) can resume; completed jobs are
+            # skipped via their rows in --out.
             traceback.print_exc()
             print(f"[session] job {i} ({job['name']}) FAILED — stopping",
                   flush=True)
-            break
+            raise SystemExit(17)
         with open(args.out, "a") as f:
             f.write(json.dumps(res) + "\n")
         print(json.dumps(res), flush=True)
