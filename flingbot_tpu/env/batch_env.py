@@ -102,6 +102,7 @@ class BatchSimEnv:
         chunk_steps: int = 64,
         chunk_loop: str = "while",
         solver_overrides=None,
+        surface_render: bool = True,
         **_unused,
     ):
         self.get_task_fn = get_task_fn
@@ -300,7 +301,19 @@ class BatchSimEnv:
             use_adaptive_scaling=self.use_adaptive_scaling,
             reach_distance_limit=self.reach_distance_limit,
         )
-        if domain_randomization:
+        self.surface_render = surface_render
+        if not surface_render:
+            # particle-splat fallback: faces args accepted and ignored
+            if domain_randomization:
+                self._vm_observe = jax.jit(jax.vmap(
+                    lambda p, a, f, fm, r, s, k: obs_fn(
+                        p, a, r, s, dr_key=k),
+                    in_axes=(0, 0, None, None, None, None, 0)))
+            else:
+                self._vm_observe = jax.jit(jax.vmap(
+                    lambda p, a, f, fm, r, s: obs_fn(p, a, r, s),
+                    in_axes=(0, 0, None, None, None, None)))
+        elif domain_randomization:
             self._vm_observe = jax.jit(jax.vmap(
                 lambda p, a, f, fm, r, s, k: obs_fn(
                     p, a, r, s, dr_key=k, faces=f, tri_mask=fm),
@@ -429,10 +442,13 @@ class BatchSimEnv:
 
     def _cloth_faces(self):
         """Batched (faces (B,T,3), tri_mask (B,T)) for the renderer's
-        triangle super-sampling (render/rasterizer.py)."""
+        triangle super-sampling (render/rasterizer.py); (None, None)
+        disables it (surface_render=False — the particle-splat fallback)."""
         from flingbot_tpu.engine.topology import (
             GridTopology, grid_triangles_dynamic)
 
+        if not getattr(self, "surface_render", True):
+            return None, None
         t = self.topo
         if isinstance(t, GridTopology):
             if not hasattr(self, "_faces_fn"):
@@ -504,13 +520,13 @@ class BatchSimEnv:
             ii = jnp.asarray(idx[s:s + C])
             pos = self.state.positions[ii]
             act = self.state.active[ii]
+            fi = faces[ii] if faces is not None else None
+            fmi = fmask[ii] if fmask is not None else None
             if self.domain_randomization:
                 outs.append(self._vm_observe(
-                    pos, act, faces[ii], fmask[ii], rot, sc,
-                    self._dr_keys[ii]))
+                    pos, act, fi, fmi, rot, sc, self._dr_keys[ii]))
             else:
-                outs.append(self._vm_observe(
-                    pos, act, faces[ii], fmask[ii], rot, sc))
+                outs.append(self._vm_observe(pos, act, fi, fmi, rot, sc))
         sub = outs[0] if len(outs) == 1 else jax.tree_util.tree_map(
             lambda *xs: jnp.concatenate(xs, axis=0), *outs)
         jidx = jnp.asarray(idx)

@@ -68,7 +68,7 @@ def run_eval(name: str, tasks: str, policy: str, load: str | None,
              episodes: int, num_envs: int = 16, max_grid_dim: int = 104,
              steps: int = 3, seed: int = 0, task_offset: int = 0,
              solver_overrides: "dict | None" = None,
-             tta: bool = False) -> dict:
+             tta: bool = False, surface_render: bool = True) -> dict:
     from flingbot_tpu.env.batch_env import BatchSimEnv
     from flingbot_tpu.env.tasks import TaskLoader, detect_topology_buckets
     from flingbot_tpu.utils.stats import collect_stats
@@ -85,7 +85,8 @@ def run_eval(name: str, tasks: str, policy: str, load: str | None,
         scale_factors=list(SCALES), action_primitives=["fling"],
         episode_length=steps, render_dim=256, max_grid_dim=max_grid_dim,
         **detect_topology_buckets(tasks), domain_randomization=True,
-        seed=seed, solver_overrides=solver_overrides, **CFG)
+        seed=seed, solver_overrides=solver_overrides,
+        surface_render=surface_render, **CFG)
     net = get_policy(load, tta) if policy == "ckpt" else None
 
     t0 = time.time()
@@ -137,6 +138,10 @@ def main():
     p.add_argument("--curve", default=None,
                    help="comma-separated extra ckpt paths to add as "
                         "hard-set learning-curve jobs")
+    p.add_argument("--num_envs_override", type=int, default=None,
+                   help="force every job's env batch width (fault triage)")
+    p.add_argument("--no_surface_render", action="store_true",
+                   help="particle-splat renderer fallback (fault triage)")
     args = p.parse_args()
 
     hard = "data_r3/rect_eval_hard_100.hdf5"
@@ -243,6 +248,10 @@ def main():
 
     t0 = time.time()
     for i, job in enumerate(jobs):
+        if args.num_envs_override:
+            job["num_envs"] = args.num_envs_override
+        if args.no_surface_render:
+            job["surface_render"] = False
         if i < args.skip:
             continue
         if job["name"] in done_names:
