@@ -188,9 +188,14 @@ def main():
     pvb = jnp.stack([pvec] * B)
     interp = jax.default_backend() == "cpu"
     if want("substeps_only_2x16"):
-        sub_fn = jax.jit(functools.partial(
-            pallas_substeps, n_sub=2, iterations=16, cheb=True,
-            picker_last=False, interpret=interp))
+        # vmapped like production (_step_grid_pallas runs B=1 kernels
+        # under the env vmap; a direct B=512 call trips the SMEM
+        # blockspec divisibility rule)
+        sub_fn = jax.jit(jax.vmap(lambda pv, P, V, w: [
+            a[0] for a in pallas_substeps(
+                pv[None], P[None], V[None], w[None], n_sub=2,
+                iterations=16, cheb=True, picker_last=False,
+                interpret=interp)]))
         emit("substeps_only_2x16", timeit(sub_fn, pvb, Pb, Vb, wb))
 
     from flingbot_tpu.engine import collisions
