@@ -103,7 +103,9 @@ def main():
               f"| {fmt(init)} | {fmt(best)} | {fmt_ci(ci)} | {fmt(delta)} "
               f"| {fmt(pos)} |")
         if key.startswith("hard/ckpt") and best is not None:
-            curve.append((key.split("ckpt")[-1], best, ci))
+            step = key.split("ckpt")[-1]
+            if step.isdigit():  # hard/ckpt123; skip hard/ckpt / -tta rows
+                curve.append((step, best, ci))
 
     # crumpled-subset re-aggregation: episodes starting near-flat
     # (init ratio > CRUMPLED_MAX_INIT) have nothing to unfold; report the
